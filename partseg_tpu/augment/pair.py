@@ -1,0 +1,87 @@
+"""Paired augmentation driver — the load-bearing coupling.
+
+Role parity: the reference's `make_pair` (SURVEY.md §2.1 "Paired
+augmentation driver", [B:5,8]). One rng produces the two coupled views:
+
+  x_s = TPS-warp(x)      "spatial view"    — geometry changed, appearance kept
+  x_a = jitter(x)        "appearance view" — appearance changed, geometry kept
+
+plus the TPS transform itself (point transform + Jacobian), which the
+equivariance loss needs: the shape stream runs on BOTH views, and
+T(μ(x_s)) must match μ(x_a) (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from partseg_tpu.augment.color import color_jitter, sample_color_params
+from partseg_tpu.augment.tps import TPSParams, TPSSampler
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """Static augmentation hyperparameters (SURVEY.md §5.6 "TPS magnitudes")."""
+
+    tps_grid: int = 5
+    tps_scale_sd: float = 0.08
+    tps_rot_sd: float = 0.08
+    tps_trans_sd: float = 0.08
+    tps_ctrl_sd: float = 0.08
+    brightness: float = 0.1
+    contrast: float = 0.3
+    saturation: float = 0.3
+    hue: float = 0.3
+    # Optionally also TPS-warp the appearance view with an independent warp
+    # (kept as a knob; default off = paper setup, SURVEY.md §7.4 risk 1).
+    warp_appearance_view: bool = False
+    padding_mode: str = "border"
+
+    def make_sampler(self) -> TPSSampler:
+        return TPSSampler(
+            grid_size=self.tps_grid,
+            scale_sd=self.tps_scale_sd,
+            rot_sd=self.tps_rot_sd,
+            trans_sd=self.tps_trans_sd,
+            ctrl_sd=self.tps_ctrl_sd,
+        )
+
+
+def make_pair(
+    x: jax.Array,
+    key: jax.Array,
+    sampler: TPSSampler,
+    cfg: AugmentConfig,
+) -> dict[str, Any]:
+    """Produce the coupled (x_s, x_a) views + transform params.
+
+    Args:
+      x: [B, H, W, 3] images in [0, 1].
+      key: one PRNG key — the single source of the pairing.
+      sampler: TPSSampler built from cfg (hoisted out so its
+        precomputed basis constants are jit-time constants).
+
+    Returns dict:
+      x_s: spatially warped view, x_a: color-jittered view,
+      tps: TPSParams of the warp applied to x_s (T maps x_s-frame
+           points to x-frame points), color: ColorParams.
+    """
+    b = x.shape[0]
+    k_tps, k_col, k_tps2 = jax.random.split(key, 3)
+
+    tps = sampler.sample(k_tps, b)
+    x_s = sampler.warp(tps, x, padding_mode=cfg.padding_mode)
+
+    col = sample_color_params(
+        k_col, b, cfg.brightness, cfg.contrast, cfg.saturation, cfg.hue
+    )
+    x_a = color_jitter(x, col)
+    if cfg.warp_appearance_view:
+        tps2 = sampler.sample(k_tps2, b)
+        x_a = sampler.warp(tps2, x_a, padding_mode=cfg.padding_mode)
+
+    return {"x_s": x_s, "x_a": x_a, "tps": tps, "color": col}
