@@ -1,0 +1,62 @@
+"""Conv building blocks (Flax linen, NHWC, bf16-friendly)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class ConvBlock(nn.Module):
+    """GroupNorm → activation → 3×3 conv (pre-activation ordering)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    groups: int = 8
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        g = min(self.groups, x.shape[-1])
+        x = nn.GroupNorm(num_groups=g, dtype=jnp.float32)(x)
+        x = nn.relu(x)
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class ResBlock(nn.Module):
+    """Pre-activation residual block (the hourglass workhorse).
+
+    Bottleneck layout as in stacked-hourglass nets: 1×1 (C/2) → 3×3 (C/2)
+    → 1×1 (C), with a 1×1 projection skip when channel counts change.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        half = max(self.features // 2, 8)
+        y = ConvBlock(half, kernel=1, dtype=self.dtype)(x)
+        y = ConvBlock(half, kernel=3, dtype=self.dtype)(y)
+        y = ConvBlock(self.features, kernel=1, dtype=self.dtype)(y)
+        if x.shape[-1] != self.features:
+            x = nn.Conv(
+                self.features, (1, 1), dtype=self.dtype, param_dtype=jnp.float32
+            )(x)
+        return x + y
+
+
+def upsample2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2× upsampling (cheap, XLA-fusible broadcast)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)

@@ -1,0 +1,58 @@
+"""Image decoder: (μ, Σ, appearance vectors) → RGB reconstruction.
+
+Role parity: SURVEY.md §2.1 "Image decoder" + "Decoder input assembly"
+[B:8,10][PAPER]: at each decoder resolution the part blobs are rendered
+from (μ, Σ) and combined with the per-part appearance vectors via
+Σ_k φ_k(u) ⊗ a_k (partops.assembly), injected into a progressive
+2×-upsampling CNN. Appearance transfer/swap (SURVEY.md §3.4) is just
+calling this with appearance vectors pooled from a different image.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from partseg_tpu.models.blocks import ResBlock, upsample2x
+from partseg_tpu.partops.assembly import assemble_decoder_input
+from partseg_tpu.partops.moments import precision_from_cov
+from partseg_tpu.partops.render import render_gaussians
+
+
+class Decoder(nn.Module):
+    """Decode at `out_size` from `n_scales` progressively rendered scales.
+
+    Scale i runs at resolution out_size / 2**(n_scales-1-i); blobs are
+    re-rendered at every scale (the precision matrix is computed once).
+    """
+
+    out_size: int = 128
+    n_scales: int = 4
+    features: int = 128
+    render_kernel: str = "gauss"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, mu: jax.Array, sigma: jax.Array, appearance: jax.Array
+    ) -> jax.Array:
+        """mu [B,K,2], sigma [B,K,2,2], appearance [B,K,C] → [B,S,S,3] in [0,1]."""
+        lam = precision_from_cov(sigma)
+        app = appearance.astype(self.dtype)
+
+        x = None
+        for i in range(self.n_scales):
+            res = self.out_size // (2 ** (self.n_scales - 1 - i))
+            blobs = render_gaussians(
+                mu, sigma, res, res,
+                kernel=self.render_kernel, precision=lam, dtype=self.dtype,
+            )
+            feat = assemble_decoder_input(blobs, app)       # [B, res, res, C]
+            x = feat if x is None else jnp.concatenate([upsample2x(x), feat], axis=-1)
+            x = ResBlock(self.features, dtype=self.dtype)(x)
+            x = ResBlock(self.features, dtype=self.dtype)(x)
+        rgb = nn.Conv(3, (1, 1), dtype=jnp.float32, param_dtype=jnp.float32)(x)
+        return nn.sigmoid(rgb)

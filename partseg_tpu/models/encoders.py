@@ -1,0 +1,74 @@
+"""Shape and appearance encoders.
+
+Role parity: SURVEY.md §2.1 "Hourglass shape encoder" (→ K-channel part
+logits at H/2, optional +1 background channel) and "Appearance encoder"
+(→ C-channel feature map) [B:5][PAPER].
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from partseg_tpu.models.blocks import ConvBlock, ResBlock
+from partseg_tpu.models.hourglass import Hourglass
+
+
+class _Stem(nn.Module):
+    """7×7/2 conv stem + residual: [B, H, W, 3] → [B, H/2, W/2, F]."""
+
+    features: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Conv(
+            self.features // 2,
+            (7, 7),
+            strides=(2, 2),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        return ResBlock(self.features, dtype=self.dtype)(x)
+
+
+class ShapeEncoder(nn.Module):
+    """x → part logits [B, H/2, W/2, K(+1 bg)]."""
+
+    n_parts: int = 10
+    background: bool = True
+    depth: int = 4
+    features: int = 128
+    n_stacks: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = _Stem(self.features, self.dtype)(x)
+        for _ in range(self.n_stacks):
+            x = Hourglass(self.depth, self.features, dtype=self.dtype)(x)
+        x = ConvBlock(self.features, kernel=1, dtype=self.dtype)(x)
+        k = self.n_parts + (1 if self.background else 0)
+        # Logit head in f32: feeds softmaxes directly.
+        return nn.Conv(k, (1, 1), dtype=jnp.float32, param_dtype=jnp.float32)(x)
+
+
+class AppearanceEncoder(nn.Module):
+    """x → appearance features [B, H/2, W/2, C]."""
+
+    out_features: int = 128
+    depth: int = 4
+    features: int = 128
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = _Stem(self.features, self.dtype)(x)
+        x = Hourglass(self.depth, self.features, dtype=self.dtype)(x)
+        x = ConvBlock(self.features, kernel=1, dtype=self.dtype)(x)
+        return nn.Conv(
+            self.out_features, (1, 1), dtype=self.dtype, param_dtype=jnp.float32
+        )(x)

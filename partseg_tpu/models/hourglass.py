@@ -1,0 +1,40 @@
+"""Hourglass module (encoder–decoder with skip connections).
+
+Role parity: SURVEY.md §2.1 "Hourglass shape encoder" [B:5][PAPER] —
+the Newell-style recursive hourglass: at each level, a skip branch at
+the current resolution and a pooled branch that recurses, then 2×
+upsample and add. Static Python recursion (depth is a config constant),
+so XLA sees a fully unrolled, fusible graph.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from partseg_tpu.models.blocks import ResBlock, upsample2x
+
+
+class Hourglass(nn.Module):
+    """One hourglass: [B, H, W, C] → [B, H, W, C] (H, W divisible by 2**depth)."""
+
+    depth: int = 4
+    features: int = 128
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        f, dt = self.features, self.dtype
+
+        def level(x: jax.Array, d: int) -> jax.Array:
+            up = ResBlock(f, dtype=dt)(x)
+            low = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            low = ResBlock(f, dtype=dt)(low)
+            low = level(low, d - 1) if d > 1 else ResBlock(f, dtype=dt)(low)
+            low = ResBlock(f, dtype=dt)(low)
+            return up + upsample2x(low)
+
+        return level(x, self.depth)

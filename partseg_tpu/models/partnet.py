@@ -1,0 +1,143 @@
+"""PartNet: the full disentangling model (the reference's `Model` role).
+
+Forward semantics (SURVEY.md §3.1, [B:5]):
+
+  shape stream on x_a (appearance view, geometry of x):
+      logits_a → spatial part distributions → (μ_a, Σ_a)
+  shape stream on x_s (spatial view): part masks for pooling
+  appearance stream on x_s: features f; a_k = pool(f, parts_s)
+  reconstruction: Decoder(render(μ_a, Σ_a) ⊗ a) ≈ x  (original image)
+
+Both per-pixel part softmax (dense segmentation, GCPR'20) and per-part
+spatial normalization (for moments) are produced — SURVEY.md §2.1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from partseg_tpu.models.decoder import Decoder
+from partseg_tpu.models.encoders import AppearanceEncoder, ShapeEncoder
+from partseg_tpu.partops.moments import soft_argmax_moments
+from partseg_tpu.partops.pooling import pool_appearance
+from partseg_tpu.partops.softmax import part_softmax, spatial_softmax
+
+
+@dataclasses.dataclass(frozen=True)
+class PartNetConfig:
+    """Static model hyperparameters (mirrors the reference's YAML keys,
+    SURVEY.md §5.6: n_parts, image size, features, render kernel...)."""
+
+    n_parts: int = 10
+    img_size: int = 128
+    background: bool = True          # extra background channel in part softmax
+    features: int = 128              # hourglass width
+    depth: int = 4                   # hourglass depth (map_size / 2**depth ≥ 1)
+    n_stacks: int = 1                # stacked hourglasses in the shape encoder
+    app_features: int = 128          # appearance vector dim C
+    decoder_scales: int = 4
+    render_kernel: str = "gauss"     # "gauss" | "heavy_tail" (§7.4 risk 1 knob)
+    spatial_norm: str = "softmax"    # "softmax" | "divide" (§7.4 risk 1 knob)
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def map_size(self) -> int:
+        return self.img_size // 2    # encoders emit at stride 2 (stem)
+
+
+class PartNetOutputs(flax.struct.PyTreeNode):
+    recon: jax.Array        # [B, S, S, 3] reconstruction of x
+    logits_a: jax.Array     # [B, S/2, S/2, K(+1)] shape logits on x_a
+    logits_s: jax.Array     # same, on x_s
+    parts_a: jax.Array      # [B, S/2, S/2, K] spatial distributions (x_a)
+    parts_s: jax.Array      # [B, S/2, S/2, K] spatial distributions (x_s)
+    seg_a: jax.Array        # [B, S/2, S/2, K(+1)] per-pixel part softmax (x_a)
+    mu_a: jax.Array         # [B, K, 2]
+    sigma_a: jax.Array      # [B, K, 2, 2]
+    mu_s: jax.Array         # [B, K, 2]
+    sigma_s: jax.Array      # [B, K, 2, 2]
+    appearance: jax.Array   # [B, K, C] pooled from x_s
+
+
+class PartNet(nn.Module):
+    cfg: PartNetConfig
+
+    def setup(self):
+        c = self.cfg
+        self.shape_enc = ShapeEncoder(
+            n_parts=c.n_parts, background=c.background, depth=c.depth,
+            features=c.features, n_stacks=c.n_stacks, dtype=c.dtype,
+        )
+        self.app_enc = AppearanceEncoder(
+            out_features=c.app_features, depth=c.depth,
+            features=c.features, dtype=c.dtype,
+        )
+        self.decoder = Decoder(
+            out_size=c.img_size, n_scales=c.decoder_scales,
+            features=c.features, render_kernel=c.render_kernel, dtype=c.dtype,
+        )
+
+    # ------------------------------------------------------------- components
+
+    def encode_shape(self, x: jax.Array) -> jax.Array:
+        """x [B,S,S,3] → part logits [B,S/2,S/2,K(+1)] (inference entry,
+        SURVEY.md §3.2 — runs without the decoder)."""
+        return self.shape_enc(x)
+
+    def shape_stats(self, logits: jax.Array):
+        """logits → (spatial part distributions [B,h,w,K], μ, Σ).
+
+        The background channel (if any) participates in the per-pixel
+        softmax but is excluded from moments.
+        """
+        k = self.cfg.n_parts
+        fg = logits[..., :k]
+        if self.cfg.spatial_norm == "softmax":
+            parts = spatial_softmax(fg)
+        else:
+            parts = _normalize_divide(fg)
+        mu, sigma = soft_argmax_moments(parts)
+        return parts, mu, sigma
+
+    def segmentation(self, logits: jax.Array) -> jax.Array:
+        """Per-pixel part softmax over K(+bg) channels (GCPR'20 path)."""
+        return part_softmax(logits)
+
+    def decode(self, mu, sigma, appearance) -> jax.Array:
+        return self.decoder(mu, sigma, appearance)
+
+    # ------------------------------------------------------------ full forward
+
+    def __call__(self, x_s: jax.Array, x_a: jax.Array) -> PartNetOutputs:
+        logits_a = self.shape_enc(x_a)
+        parts_a, mu_a, sigma_a = self.shape_stats(logits_a)
+
+        logits_s = self.shape_enc(x_s)
+        parts_s, mu_s, sigma_s = self.shape_stats(logits_s)
+
+        feats_s = self.app_enc(x_s)
+        appearance = pool_appearance(feats_s, parts_s)      # [B, K, C] f32
+
+        recon = self.decoder(mu_a, sigma_a, appearance)
+        return PartNetOutputs(
+            recon=recon,
+            logits_a=logits_a, logits_s=logits_s,
+            parts_a=parts_a, parts_s=parts_s,
+            seg_a=self.segmentation(logits_a),
+            mu_a=mu_a, sigma_a=sigma_a, mu_s=mu_s, sigma_s=sigma_s,
+            appearance=appearance,
+        )
+
+
+def _normalize_divide(fg_logits: jax.Array) -> jax.Array:
+    """softplus → divide-by-sum spatial normalization (the knob's second
+    setting; softplus keeps activations positive)."""
+    from partseg_tpu.partops.softmax import normalize_maps
+
+    return normalize_maps(jax.nn.softplus(fg_logits.astype(jnp.float32)))
