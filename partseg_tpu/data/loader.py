@@ -1,0 +1,58 @@
+"""Batched, per-host-sharded input pipeline on Grain.
+
+TPU-native replacement for edflow's multiprocessing prefetch
+(SURVEY.md §2.1 "edflow (external dep)", §2.2 "DataLoader worker
+pool"): host workers only decode/crop — the paired augmentation runs
+on device inside the jit region (augment/). Per-host sharding follows
+jax.process_index/count so every example is read exactly once per
+epoch across hosts (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import grain
+import jax
+import numpy as np
+
+
+def make_loader(
+    dataset: Any,
+    batch_size: int,
+    *,
+    shuffle: bool = True,
+    seed: int = 0,
+    num_epochs: int | None = None,
+    num_workers: int = 0,
+    drop_remainder: bool = True,
+    process_index: int | None = None,
+    process_count: int | None = None,
+) -> Iterator[dict]:
+    """Wrap an indexable dict-example dataset into a batched iterator.
+
+    `batch_size` is the per-host batch (global_batch / process_count).
+    Yields dicts of stacked numpy arrays.
+    """
+    pidx = jax.process_index() if process_index is None else process_index
+    pcnt = jax.process_count() if process_count is None else process_count
+
+    ds = grain.MapDataset.source(dataset)
+    if shuffle:
+        ds = ds.shuffle(seed=seed)
+    if pcnt > 1:
+        ds = ds[pidx::pcnt]                        # per-host shard
+    if num_epochs is None:
+        ds = ds.repeat(None)
+    elif num_epochs > 1:
+        ds = ds.repeat(num_epochs)
+    ds = ds.batch(batch_size, drop_remainder=drop_remainder, batch_fn=_stack)
+    it = ds.to_iter_dataset(
+        grain.ReadOptions(num_threads=max(num_workers, 1), prefetch_buffer_size=8)
+    )
+    return iter(it)
+
+
+def _stack(examples: list[dict]) -> dict:
+    keys = examples[0].keys()
+    return {k: np.stack([e[k] for e in examples]) for k in keys}

@@ -1,0 +1,39 @@
+"""CLI: ``python -m partseg_tpu.train.cli --config configs/celeba.py [-t]``.
+
+Mirrors the reference's ``edflow -b config.yaml -t [-p project] [-c
+ckpt]`` entry point (SURVEY.md §3.1): config file + dot-path overrides,
+restore-latest by default.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from partseg_tpu.dist.mesh import init_distributed
+from partseg_tpu.train.config import apply_overrides, load_config
+from partseg_tpu.train.loop import train
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="partseg_tpu trainer")
+    ap.add_argument("--config", "-b", required=True, help="python config file")
+    ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL",
+                    help="dot-path overrides, e.g. optim.lr=3e-4")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--ckpt_dir", "-p", default=None, help="run/project dir")
+    ap.add_argument("--no-restore", action="store_true")
+    ap.add_argument("--coordinator", default=None, help="multi-host DCN address")
+    args = ap.parse_args(argv)
+
+    init_distributed(args.coordinator)
+    cfg = load_config(args.config)
+    cfg = apply_overrides(cfg, args.set)
+    if args.steps is not None:
+        cfg = cfg.replace(steps=args.steps)
+    if args.ckpt_dir is not None:
+        cfg = cfg.replace(ckpt_dir=args.ckpt_dir)
+    train(cfg, restore=not args.no_restore)
+
+
+if __name__ == "__main__":
+    main()

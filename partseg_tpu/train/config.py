@@ -1,0 +1,98 @@
+"""Config system: plain Python dataclasses + per-experiment config files.
+
+Role parity: the reference's YAML-per-experiment + edflow CLI overrides
+(SURVEY.md §5.6). A config file is a Python module defining
+``get_config() -> TrainConfig``; CLI flags override fields dot-wise
+(e.g. --set optim.lr=1e-3 model.n_parts=16).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import importlib.util
+import pathlib
+from typing import Any
+
+from partseg_tpu.augment.pair import AugmentConfig
+from partseg_tpu.models.partnet import PartNetConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    rec_weight: float = 1.0
+    equiv_weight: float = 1.0
+    equiv_sigma_weight: float = 1.0
+    pixel_weight: float = 1.0
+    vgg_layers: tuple = ("relu1_2", "relu2_2", "relu3_2", "relu4_2")
+    vgg_layer_weights: tuple | None = None
+    vgg_trim_blocks: int = 4          # drop conv5: ~halves loss FLOPs (SURVEY §6)
+    vgg_npz: str | None = None        # pretrained weights path (or $VGG19_NPZ)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    lr: float = 1e-3
+    warmup_steps: int = 500
+    decay_steps: int = 100_000
+    end_lr_factor: float = 0.1
+    b1: float = 0.9
+    b2: float = 0.999
+    weight_decay: float = 0.0
+    grad_clip: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    model: PartNetConfig = PartNetConfig()
+    augment: AugmentConfig = AugmentConfig()
+    loss: LossConfig = LossConfig()
+    optim: OptimConfig = OptimConfig()
+
+    dataset: str = "synthetic"        # data/ registry name
+    dataset_kwargs: tuple = ()        # sorted (key, value) pairs
+    global_batch: int = 64
+    steps: int = 10_000
+    seed: int = 0
+
+    log_every: int = 50
+    image_log_every: int = 1000
+    ckpt_every: int = 1000
+    ckpt_dir: str = "logs/run"
+    ckpt_keep: int = 3
+    profile_steps: tuple | None = None  # (start, stop) step range to trace
+    fault_injection_step: int | None = None  # kill process at this step (CI resume test)
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def load_config(path: str) -> TrainConfig:
+    """Load ``get_config()`` from a Python config file."""
+    p = pathlib.Path(path)
+    spec = importlib.util.spec_from_file_location(p.stem, p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.get_config()
+
+
+def apply_overrides(cfg: Any, overrides: list[str]) -> Any:
+    """Apply dot-path overrides like ``optim.lr=3e-4`` to nested frozen
+    dataclasses (the CLI-override half of the edflow parity)."""
+    import ast
+
+    for ov in overrides:
+        key, _, raw = ov.partition("=")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        parts = key.strip().split(".")
+        cfg = _set_nested(cfg, parts, value)
+    return cfg
+
+
+def _set_nested(obj: Any, parts: list[str], value: Any) -> Any:
+    if len(parts) == 1:
+        return dataclasses.replace(obj, **{parts[0]: value})
+    child = getattr(obj, parts[0])
+    return dataclasses.replace(obj, **{parts[0]: _set_nested(child, parts[1:], value)})

@@ -1,0 +1,134 @@
+"""The training loop (edflow-iterator parity, SURVEY.md §3.1 TPU build).
+
+Orchestration only — all math lives in the jitted step. Features:
+restore-latest on start (preemption-safe), async Orbax checkpoints,
+JSONL+TB metrics, throughput measurement, optional profiler window
+(SURVEY.md §5.1), fault-injection step for resume testing (§5.3).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+
+from partseg_tpu.data.loader import make_loader
+from partseg_tpu.data.registry import build_dataset
+from partseg_tpu.dist.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+from partseg_tpu.losses.perceptual import PerceptualLoss
+from partseg_tpu.losses.vgg import VGG19Features, load_vgg19_npz
+from partseg_tpu.models.partnet import PartNet
+from partseg_tpu.train.checkpoint import CheckpointManager
+from partseg_tpu.train.config import TrainConfig
+from partseg_tpu.train.metrics import MetricLogger
+from partseg_tpu.train.state import create_state
+from partseg_tpu.train.step import make_train_step
+
+
+def build_perceptual(cfg: TrainConfig) -> PerceptualLoss:
+    lw = cfg.loss
+    vgg = VGG19Features(
+        extract=tuple(lw.vgg_layers), trim_blocks=lw.vgg_trim_blocks,
+        dtype=cfg.model.dtype,
+    )
+    vgg_params = load_vgg19_npz(vgg, lw.vgg_npz, cfg.model.img_size)
+    return PerceptualLoss(
+        vgg_params,
+        extract=tuple(lw.vgg_layers),
+        layer_weights=lw.vgg_layer_weights,
+        pixel_weight=lw.pixel_weight,
+        trim_blocks=lw.vgg_trim_blocks,
+        dtype=cfg.model.dtype,
+    )
+
+
+def train(
+    cfg: TrainConfig,
+    *,
+    data_iter: Iterator[dict] | None = None,
+    restore: bool = True,
+    mesh=None,
+) -> Any:
+    """Run training. Returns the final TrainState (host-fetched)."""
+    mesh = mesh if mesh is not None else make_mesh()
+    n_dev = mesh.size
+    if cfg.global_batch % n_dev:
+        raise ValueError(
+            f"global_batch {cfg.global_batch} not divisible by {n_dev} devices"
+        )
+    per_host_batch = cfg.global_batch // jax.process_count()
+
+    model = PartNet(cfg.model)
+    sampler = cfg.augment.make_sampler()
+    perceptual = build_perceptual(cfg)
+
+    state = create_state(cfg, model, jax.random.key(cfg.seed))
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    ckpt = CheckpointManager(cfg.ckpt_dir, keep=cfg.ckpt_keep, save_every=cfg.ckpt_every)
+    start_step = 0
+    if restore:
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state, start_step = restored
+            print(f"[train] restored checkpoint at step {start_step}")
+
+    step_fn = jax.jit(
+        make_train_step(cfg, model, sampler, perceptual), donate_argnums=0
+    )
+
+    if data_iter is None:
+        dataset = build_dataset(cfg.dataset, split="train", **dict(cfg.dataset_kwargs))
+        data_iter = make_loader(
+            dataset, per_host_batch, seed=cfg.seed, num_workers=4
+        )
+
+    logger = MetricLogger(cfg.ckpt_dir)
+    base_key = jax.device_put(
+        jax.random.key(cfg.seed + 1), replicated_sharding(mesh)
+    )
+    bsh = batch_sharding(mesh)
+
+    t_last = time.perf_counter()
+    imgs_since = 0
+    for step in range(start_step, cfg.steps):
+        if cfg.profile_steps and step == cfg.profile_steps[0]:
+            jax.profiler.start_trace(os.path.join(cfg.ckpt_dir, "profile"))
+        batch = next(data_iter)
+        device_batch = {"image": jax.device_put(batch["image"], bsh)}
+        state, metrics = step_fn(state, device_batch, base_key)
+        imgs_since += cfg.global_batch
+
+        if cfg.profile_steps and step == cfg.profile_steps[1]:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+
+        if step % cfg.log_every == 0 or step + 1 == cfg.steps:
+            m = jax.device_get(metrics)
+            now = time.perf_counter()
+            dt = now - t_last
+            m["img_per_sec_per_chip"] = imgs_since / dt / n_dev if dt > 0 else 0.0
+            m["lr_step"] = step
+            logger.log(step, m)
+            t_last = now
+            imgs_since = 0
+
+        if cfg.fault_injection_step is not None and step == cfg.fault_injection_step:
+            print(f"[train] FAULT INJECTION at step {step} — exiting hard")
+            ckpt.wait()
+            os._exit(42)
+
+        ckpt.save(step + 1, state)
+
+    ckpt.save(cfg.steps, state, force=True)
+    ckpt.wait()
+    logger.close()
+    return jax.device_get(state)

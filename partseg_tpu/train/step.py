@@ -1,0 +1,64 @@
+"""The compiled train step (SURVEY.md §3.1, TPU build).
+
+One jit region per step: on-device paired augmentation → two-stream
+PartNet forward → VGG-perceptual + equivariance losses → grads → Adam
+update. Under a data mesh with the batch sharded on "data" and params
+replicated, XLA inserts the gradient all-reduce over ICI automatically
+— the idiomatic pjit DP of SURVEY.md §2.3.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from partseg_tpu.augment.pair import AugmentConfig, make_pair
+from partseg_tpu.augment.tps import TPSSampler
+from partseg_tpu.losses.equivariance import equivariance_loss
+from partseg_tpu.losses.perceptual import PerceptualLoss
+from partseg_tpu.models.partnet import PartNet
+from partseg_tpu.train.config import TrainConfig
+from partseg_tpu.train.state import TrainState, make_optimizer
+
+
+def make_train_step(
+    cfg: TrainConfig,
+    model: PartNet,
+    sampler: TPSSampler,
+    perceptual: PerceptualLoss,
+) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
+    """Build the (un-jitted) train step closure. Caller jits with
+    donate_argnums=0 and the desired shardings."""
+    optimizer = make_optimizer(cfg.optim)
+    lw = cfg.loss
+
+    def loss_fn(params, images: jax.Array, key: jax.Array):
+        pair = make_pair(images, key, sampler, cfg.augment)
+        out = model.apply(params, pair["x_s"], pair["x_a"])
+        l_rec = perceptual(out.recon, images)
+        l_eq, eq_metrics = equivariance_loss(
+            sampler, pair["tps"], out.mu_s, out.sigma_s, out.mu_a, out.sigma_a,
+            sigma_weight=lw.equiv_sigma_weight,
+        )
+        loss = lw.rec_weight * l_rec + lw.equiv_weight * l_eq
+        metrics = {"loss": loss, "rec": l_rec, "equiv": l_eq, **eq_metrics}
+        return loss, metrics
+
+    def train_step(state: TrainState, batch: dict, key: jax.Array):
+        key = jax.random.fold_in(key, state.step)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch["image"], key
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        return new_state, metrics
+
+    return train_step
