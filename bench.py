@@ -1,0 +1,81 @@
+"""Headline benchmark: 128px train-step throughput (img/s/chip).
+
+Runs the flagship CelebA-class training config (PartNet K=10, 128px,
+bf16, VGG-perceptual + equivariance losses, on-device paired TPS/color
+augmentation — the full SURVEY.md §3.1 step) on synthetic device-
+resident data, measures steady-state step time, and prints ONE JSON
+line. Baseline: 8000 img/s/chip target from BASELINE.json:5 (the
+reference never published throughput; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from partseg_tpu.augment.pair import AugmentConfig
+from partseg_tpu.dist.mesh import batch_sharding, make_mesh, replicated_sharding
+from partseg_tpu.models.partnet import PartNet, PartNetConfig
+from partseg_tpu.train.config import LossConfig, OptimConfig, TrainConfig
+from partseg_tpu.train.loop import build_perceptual
+from partseg_tpu.train.state import create_state
+from partseg_tpu.train.step import make_train_step
+
+BASELINE_IMG_S_CHIP = 8000.0
+
+
+def main(batch_per_chip: int = 64, steps: int = 20, warmup: int = 3):
+    mesh = make_mesh()
+    n_chips = mesh.size
+    cfg = TrainConfig(
+        model=PartNetConfig(n_parts=10, img_size=128),
+        augment=AugmentConfig(),
+        loss=LossConfig(),               # vgg_trim_blocks=4 (perf: drop conv5)
+        optim=OptimConfig(),
+        global_batch=batch_per_chip * n_chips,
+    )
+    model = PartNet(cfg.model)
+    state = create_state(cfg, model, jax.random.key(0))
+    state = jax.device_put(state, replicated_sharding(mesh))
+    batch = {
+        "image": jax.device_put(
+            jax.random.uniform(
+                jax.random.key(1), (cfg.global_batch, 128, 128, 3), jnp.float32
+            ),
+            batch_sharding(mesh),
+        )
+    }
+    step_fn = jax.jit(
+        make_train_step(cfg, model, cfg.augment.make_sampler(), build_perceptual(cfg)),
+        donate_argnums=0,
+    )
+    key = jax.random.key(2)
+
+    for _ in range(warmup):
+        state, metrics = step_fn(state, batch, key)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch, key)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    img_s_chip = cfg.global_batch * steps / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "train_throughput_128px",
+                "value": round(img_s_chip, 1),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_s_chip / BASELINE_IMG_S_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Eval CLI: landmark regression over an annotated split.
+
+python -m partseg_tpu.evals.cli --config configs/celeba.py \
+    --ckpt_dir logs/celeba [--dataset celeba_mafl] [--max_batches N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from partseg_tpu.data.loader import make_loader
+from partseg_tpu.data.registry import build_dataset
+from partseg_tpu.evals.infer import load_model_and_params
+from partseg_tpu.evals.landmarks import evaluate_landmarks
+from partseg_tpu.train.config import load_config
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="partseg_tpu landmark eval")
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--ckpt_dir", default=None)
+    ap.add_argument("--dataset", default=None, help="override cfg.dataset")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--max_batches", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config)
+    name = args.dataset or cfg.dataset
+    model, params = load_model_and_params(cfg, args.ckpt_dir)
+
+    kwargs = dict(cfg.dataset_kwargs)
+    train_it = make_loader(
+        build_dataset(name, split="train", **kwargs),
+        args.batch, shuffle=False, num_epochs=1,
+    )
+    test_it = make_loader(
+        build_dataset(name, split="test", **kwargs),
+        args.batch, shuffle=False, num_epochs=1,
+    )
+    metrics = evaluate_landmarks(
+        model, params, train_it, test_it, max_batches=args.max_batches
+    )
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

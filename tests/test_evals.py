@@ -1,0 +1,59 @@
+"""Eval-protocol tests (SURVEY.md §4.5) + segmentation IoU sanity."""
+
+import numpy as np
+
+from partseg_tpu.evals.landmarks import fit_landmark_regressor, landmark_error
+from partseg_tpu.evals.segmentation import match_parts_to_classes, segmentation_iou
+
+
+def test_regressor_recovers_linear_relation():
+    # SURVEY.md §4.5: with gt = linear(mu), the protocol reports ~0 error.
+    rng = np.random.default_rng(0)
+    K, L, n = 6, 5, 500
+    mu = rng.uniform(-1, 1, size=(n, K, 2))
+    W_true = rng.normal(size=(2 * K, 2 * L))
+    gt = (mu.reshape(n, -1) @ W_true).reshape(n, L, 2)
+    W = fit_landmark_regressor(mu[:400], gt[:400])
+    err = landmark_error(W, mu[400:], gt[400:])
+    assert err < 1e-6, err
+
+
+def test_regressor_error_normalized_by_iod():
+    rng = np.random.default_rng(1)
+    n, K, L = 200, 4, 5
+    mu = rng.uniform(-1, 1, size=(n, K, 2))
+    gt = rng.uniform(-1, 1, size=(n, L, 2))
+    W = fit_landmark_regressor(mu, gt)
+    # Custom normalizer of 2.0 should halve the error vs normalizer 1.0.
+    e1 = landmark_error(W, mu, gt, iod_fn=lambda g: np.ones(len(g)))
+    e2 = landmark_error(W, mu, gt, iod_fn=lambda g: 2 * np.ones(len(g)))
+    np.testing.assert_allclose(e1, 2 * e2, rtol=1e-6)
+
+
+def test_segmentation_iou_perfect_and_disjoint():
+    gt = np.zeros((1, 8, 8), np.int64)
+    gt[0, :4, :] = 1
+    m = segmentation_iou(gt, gt, n_classes=2)
+    assert m["miou"] == 1.0 and m["fg_iou"] == 1.0
+    pred = 1 - gt
+    m2 = segmentation_iou(pred, gt, n_classes=2)
+    assert m2["miou"] == 0.0 and m2["fg_iou"] == 0.0
+
+
+def test_segmentation_iou_ignore_index():
+    gt = np.zeros((1, 4, 4), np.int64)
+    gt[0, 0, :] = 255
+    pred = np.zeros((1, 4, 4), np.int64)
+    m = segmentation_iou(pred, gt, n_classes=2, ignore_index=255)
+    assert m["miou"] == 1.0
+
+
+def test_match_parts_majority_vote():
+    gt = np.zeros((1, 4, 4), np.int64)
+    gt[0, :, 2:] = 3
+    pred = np.zeros((1, 4, 4), np.int64)
+    pred[0, :, 2:] = 1          # part 1 overlaps class 3
+    mapping = match_parts_to_classes(pred, gt, n_parts=2, n_classes=4)
+    assert mapping[0] == 0 and mapping[1] == 3
+    remapped = mapping[pred]
+    assert segmentation_iou(remapped, gt, n_classes=4)["miou"] == 1.0
