@@ -9,5 +9,12 @@ pure-jax for synthetic).
 
 from partseg_tpu.data.synthetic import SyntheticBlobs
 from partseg_tpu.data.loader import make_loader
+from partseg_tpu.data.registry import build_dataset
 
-__all__ = ["SyntheticBlobs", "make_loader"]
+# Import dataset modules for their @register side effects.
+from partseg_tpu.data import celeba as _celeba    # noqa: F401
+from partseg_tpu.data import cub as _cub          # noqa: F401
+from partseg_tpu.data import deepfashion as _df   # noqa: F401
+from partseg_tpu.data import video as _video      # noqa: F401
+
+__all__ = ["SyntheticBlobs", "make_loader", "build_dataset"]
