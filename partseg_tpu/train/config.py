@@ -27,6 +27,11 @@ class LossConfig:
     vgg_layer_weights: tuple | None = None
     vgg_trim_blocks: int = 4          # drop conv5: ~halves loss FLOPs (SURVEY §6)
     vgg_npz: str | None = None        # pretrained weights path (or $VGG19_NPZ)
+    # Appearance-swap consistency [B:8,10]: decode with batch-rolled
+    # appearance vectors and require the re-encoded part locations to
+    # stay put (shape invariant under appearance transfer). Costs an
+    # extra decoder+encoder pass; 0 disables.
+    swap_weight: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -45,7 +45,24 @@ def make_train_step(
             sigma_weight=lw.equiv_sigma_weight,
         )
         loss = lw.rec_weight * l_rec + lw.equiv_weight * l_eq
-        metrics = {"loss": loss, "rec": l_rec, "equiv": l_eq, **eq_metrics}
+        metrics = {"rec": l_rec, "equiv": l_eq, **eq_metrics}
+        if lw.swap_weight:
+            # Appearance-swap consistency [B:8,10]: shape must survive
+            # appearance transfer (SURVEY.md §3.4 stack, in-batch roll).
+            from partseg_tpu.models.partnet import PartNet
+
+            app_sw = jnp.roll(out.appearance, 1, axis=0)
+            recon_sw = model.apply(
+                params, out.mu_a, out.sigma_a, app_sw, method=PartNet.decode
+            )
+            logits_sw = model.apply(params, recon_sw, method=PartNet.encode_shape)
+            _, mu_sw, _ = model.apply(params, logits_sw, method=PartNet.shape_stats)
+            l_swap = jnp.mean(
+                jnp.sum((mu_sw - out.mu_a.astype(jnp.float32)) ** 2, axis=-1)
+            )
+            loss = loss + lw.swap_weight * l_swap
+            metrics["swap"] = l_swap
+        metrics["loss"] = loss
         return loss, metrics
 
     def train_step(state: TrainState, batch: dict, key: jax.Array):
