@@ -1,0 +1,184 @@
+"""Fused Gaussian render + decoder-input assembly kernel.
+
+Computes, for every output pixel u and channel c:
+
+    out[u, c] = Σ_k φ_k(u) · a[k, c],   φ_k(u) = exp(−½ (u−μ_k)ᵀ Λ_k (u−μ_k))
+                                     or 1/(1+d)  ("heavy_tail")
+
+in one pass: a tile of φ lives only in VMEM/registers and goes straight
+into an MXU matmul with the appearance matrix — the [B, H, W, K] blob
+tensor of the unfused path (partops.render + partops.assembly) never
+touches HBM. This is the memory-bound stage SURVEY.md §2.2 targets
+("Gaussian render + appearance outer-product-sum ... without
+materializing K×H×W×C").
+
+Forward: Pallas, grid (B, HW/T). Backward: closed-form einsum formulas
+(XLA) with φ recomputed — still no HBM blob tensor in the forward pass,
+and the backward is matmul-dominated.
+
+Parts axis is padded to the 128-lane boundary with a[k]=0, so padded
+parts contribute nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(mu_ref, lam_ref, app_ref, out_ref, *, h, w, tile, kernel_kind):
+    t = pl.program_id(1)
+    # Global flat pixel ids for this tile -> (y, x) pixel-center coords.
+    p = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + t * tile
+    y = (p // w).astype(jnp.float32)
+    x = (p % w).astype(jnp.float32)
+    yc = -1.0 + (2.0 * y + 1.0) / h                      # [T, 1]
+    xc = -1.0 + (2.0 * x + 1.0) / w
+
+    mu_y = mu_ref[0, :, 0][None, :]                      # [1, Kp]
+    mu_x = mu_ref[0, :, 1][None, :]
+    l00 = lam_ref[0, :, 0][None, :]
+    l01 = lam_ref[0, :, 1][None, :]
+    l11 = lam_ref[0, :, 2][None, :]
+
+    dy = yc - mu_y                                       # [T, Kp]
+    dx = xc - mu_x
+    d = l00 * dy * dy + 2.0 * l01 * dy * dx + l11 * dx * dx
+    if kernel_kind == "gauss":
+        phi = jnp.exp(-0.5 * d)
+    else:
+        phi = 1.0 / (1.0 + d)
+    out_ref[0] = jnp.dot(
+        phi, app_ref[0], preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def render_assemble(
+    mu: jax.Array,
+    lam: jax.Array,
+    app: jax.Array,
+    h: int,
+    w: int,
+    kernel: str = "gauss",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused render+assemble.
+
+    Args:
+      mu:  [B, K, 2] part means (y, x) in [-1, 1], f32.
+      lam: [B, K, 2, 2] precision matrices (Σ⁻¹), f32.
+      app: [B, K, C] appearance vectors.
+      h, w: output resolution.
+      kernel: "gauss" | "heavy_tail".
+
+    Returns [B, h, w, C] f32.
+    """
+    return _forward(mu, lam, app, h, w, kernel, interpret)
+
+
+def _forward(mu, lam, app, h, w, kernel, interpret):
+    if interpret is None:
+        from partseg_tpu.partops.pallas import use_interpret
+
+        interpret = use_interpret()
+    b, k, c = app.shape
+    kp = _round_up(k, 128)
+    cp = _round_up(c, 128)
+    hw = h * w
+    tile = min(512, hw)
+    assert hw % tile == 0, (h, w, tile)
+
+    muf = jnp.zeros((b, kp, 2), jnp.float32).at[:, :k].set(mu.astype(jnp.float32))
+    # Padded parts: lam=I so d grows away from origin; app=0 kills them.
+    lam_packed = jnp.stack(
+        [lam[..., 0, 0], lam[..., 0, 1], lam[..., 1, 1]], axis=-1
+    ).astype(jnp.float32)                                 # [B, K, 3]
+    lamf = (
+        jnp.zeros((b, kp, 3), jnp.float32)
+        .at[:, :, 0].set(1.0)
+        .at[:, :, 2].set(1.0)
+        .at[:, :k].set(lam_packed)
+    )
+    appf = jnp.zeros((b, kp, cp), jnp.float32).at[:, :k, :c].set(
+        app.astype(jnp.float32)
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, h=h, w=w, tile=tile, kernel_kind=kernel),
+        grid=(b, hw // tile),
+        in_specs=[
+            pl.BlockSpec((1, kp, 2), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp, 3), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp, cp), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, cp), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hw, cp), jnp.float32),
+        interpret=interpret,
+    )(muf, lamf, appf)
+    return out[:, :, :c].reshape(b, h, w, c)
+
+
+def _phi_and_diffs(mu, lam, h, w, kernel):
+    """jnp recompute of φ (and residuals) for the backward pass."""
+    from partseg_tpu.partops.coords import coord_grid
+
+    yy, xx = coord_grid(h, w)
+    u = jnp.stack([yy.reshape(-1), xx.reshape(-1)], -1)   # [HW, 2]
+    diff = u[None, :, None, :] - mu[:, None, :, :].astype(jnp.float32)  # [B,HW,K,2]
+    lamf = lam.astype(jnp.float32)
+    d = jnp.einsum("bnki,bkij,bnkj->bnk", diff, lamf, diff)
+    if kernel == "gauss":
+        phi = jnp.exp(-0.5 * d)
+        dphi_dd = -0.5 * phi
+    else:
+        phi = 1.0 / (1.0 + d)
+        dphi_dd = -(phi * phi)
+    return u, diff, phi, dphi_dd
+
+
+def _fwd(mu, lam, app, h, w, kernel, interpret):
+    out = _forward(mu, lam, app, h, w, kernel, interpret)
+    return out, (mu, lam, app)
+
+
+def _bwd(h, w, kernel, interpret, res, g):
+    mu, lam, app = res
+    b, k, c = app.shape
+    gf = g.reshape(b, h * w, c).astype(jnp.float32)
+    _, diff, phi, dphi_dd = _phi_and_diffs(mu, lam, h, w, kernel)
+    appf = app.astype(jnp.float32)
+
+    d_app = jnp.einsum("bnk,bnc->bkc", phi, gf)
+    g_phi = jnp.einsum("bnc,bkc->bnk", gf, appf)          # [B, HW, K]
+    g_d = g_phi * dphi_dd
+    # d = diffᵀ Λ diff:  ∂d/∂μ = −2 Λ diff;  ∂d/∂Λ = diff diffᵀ. The
+    # forward reads only Λ[...,0,1] for the (doubled) off-diagonal term,
+    # so the whole off-diagonal cotangent lands there ([...,1,0] gets 0)
+    # — matching the unfused render_gaussians path exactly.
+    d_mu = jnp.einsum("bnk,bkij,bnkj->bki", g_d, -2.0 * lam.astype(jnp.float32), diff)
+    d_sym = jnp.einsum("bnk,bnki,bnkj->bkij", g_d, diff, diff)
+    d_lam = (
+        jnp.zeros_like(d_sym)
+        .at[..., 0, 0].set(d_sym[..., 0, 0])
+        .at[..., 1, 1].set(d_sym[..., 1, 1])
+        .at[..., 0, 1].set(d_sym[..., 0, 1] + d_sym[..., 1, 0])
+    )
+    return (
+        d_mu.astype(mu.dtype),
+        d_lam.astype(lam.dtype),
+        d_app.astype(app.dtype),
+    )
+
+
+render_assemble.defvjp(_fwd, _bwd)
