@@ -28,14 +28,27 @@ def make_loader(
     drop_remainder: bool = True,
     process_index: int | None = None,
     process_count: int | None = None,
+    backend: str = "grain",
 ) -> Iterator[dict]:
     """Wrap an indexable dict-example dataset into a batched iterator.
 
     `batch_size` is the per-host batch (global_batch / process_count).
-    Yields dicts of stacked numpy arrays.
+    Yields dicts of stacked numpy arrays. backend="native" routes
+    image-only training pipelines through the C++ decode pool
+    (partseg_native); "grain" is the default and the only choice for
+    landmark-annotated eval splits.
     """
     pidx = jax.process_index() if process_index is None else process_index
     pcnt = jax.process_count() if process_count is None else process_count
+
+    if backend == "native":
+        from partseg_tpu.data.native import native_loader
+
+        return native_loader(
+            dataset, batch_size, shuffle=shuffle, seed=seed,
+            num_threads=max(num_workers, 1) * 2,
+            process_index=pidx, process_count=pcnt,
+        )
 
     ds = grain.MapDataset.source(dataset)
     if shuffle:

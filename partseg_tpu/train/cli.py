@@ -23,7 +23,14 @@ def main(argv=None):
     ap.add_argument("--ckpt_dir", "-p", default=None, help="run/project dir")
     ap.add_argument("--no-restore", action="store_true")
     ap.add_argument("--coordinator", default=None, help="multi-host DCN address")
+    ap.add_argument("--debug_nans", action="store_true",
+                    help="enable jax nan-debugging (SURVEY.md §5.2)")
     args = ap.parse_args(argv)
+
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     init_distributed(args.coordinator)
     cfg = load_config(args.config)

@@ -55,6 +55,7 @@ class TrainConfig:
 
     dataset: str = "synthetic"        # data/ registry name
     dataset_kwargs: tuple = ()        # sorted (key, value) pairs
+    loader_backend: str = "grain"     # "grain" | "native" (C++ decode pool)
     global_batch: int = 64
     steps: int = 10_000
     seed: int = 0

@@ -84,11 +84,13 @@ def train(
     step_fn = jax.jit(
         make_train_step(cfg, model, sampler, perceptual), donate_argnums=0
     )
+    viz_fn = jax.jit(lambda p, a: model.apply(p, a, a))  # compiled once
 
     if data_iter is None:
         dataset = build_dataset(cfg.dataset, split="train", **dict(cfg.dataset_kwargs))
         data_iter = make_loader(
-            dataset, per_host_batch, seed=cfg.seed, num_workers=4
+            dataset, per_host_batch, seed=cfg.seed, num_workers=4,
+            backend=cfg.loader_backend,
         )
 
     logger = MetricLogger(cfg.ckpt_dir)
@@ -121,6 +123,9 @@ def train(
             t_last = now
             imgs_since = 0
 
+        if cfg.image_log_every and step % cfg.image_log_every == 0:
+            _log_images(logger, viz_fn, state, device_batch, step)
+
         if cfg.fault_injection_step is not None and step == cfg.fault_injection_step:
             print(f"[train] FAULT INJECTION at step {step} — exiting hard")
             ckpt.wait()
@@ -132,3 +137,26 @@ def train(
     ckpt.wait()
     logger.close()
     return jax.device_get(state)
+
+
+def _log_images(logger: MetricLogger, viz_fn, state, batch, step: int):
+    """edflow log_op parity (SURVEY.md §5.5): recon + part-map overlays."""
+    import numpy as np
+
+    n = min(8, batch["image"].shape[0])
+    x = batch["image"][:n]
+    out = viz_fn(state.params, x)
+    heat = np.asarray(out.parts_a)                    # [n, h, w, K]
+    # Color-code parts by index for a single overlay image.
+    k = heat.shape[-1]
+    rng = np.random.default_rng(0)
+    palette = rng.uniform(0.2, 1.0, size=(k, 3))
+    overlay = np.einsum("bhwk,kc->bhwc", heat / (heat.max() + 1e-8), palette)
+    logger.log_images(
+        step,
+        {
+            "input": np.asarray(x),
+            "recon": np.asarray(out.recon, dtype=np.float32),
+            "parts": np.clip(overlay / (overlay.max() + 1e-8), 0, 1),
+        },
+    )
