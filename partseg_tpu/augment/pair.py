@@ -71,17 +71,33 @@ def make_pair(
            points to x-frame points), color: ColorParams.
     """
     b = x.shape[0]
-    k_tps, k_col, k_tps2 = jax.random.split(key, 3)
+    per_sample = getattr(key, "ndim", 0) == 1 and key.shape[0] == b
+    if per_sample:
+        # key is a [B] key array: draws are per-sample and therefore
+        # identical no matter how the batch is sharded over devices.
+        ks = jax.vmap(lambda k: jax.random.split(k, 3))(key)  # [B, 3]
+        k_tps, k_col, k_tps2 = ks[:, 0], ks[:, 1], ks[:, 2]
+        tps = sampler.sample_per_key(k_tps)
+        col = jax.vmap(
+            lambda k: sample_color_params(
+                k, (), cfg.brightness, cfg.contrast, cfg.saturation, cfg.hue
+            )
+        )(k_col)
+    else:
+        k_tps, k_col, k_tps2 = jax.random.split(key, 3)
+        tps = sampler.sample(k_tps, b)
+        col = sample_color_params(
+            k_col, b, cfg.brightness, cfg.contrast, cfg.saturation, cfg.hue
+        )
 
-    tps = sampler.sample(k_tps, b)
     x_s = sampler.warp(tps, x, padding_mode=cfg.padding_mode)
-
-    col = sample_color_params(
-        k_col, b, cfg.brightness, cfg.contrast, cfg.saturation, cfg.hue
-    )
     x_a = color_jitter(x, col)
     if cfg.warp_appearance_view:
-        tps2 = sampler.sample(k_tps2, b)
+        tps2 = (
+            sampler.sample_per_key(k_tps2)
+            if per_sample
+            else sampler.sample(k_tps2, b)
+        )
         x_a = sampler.warp(tps2, x_a, padding_mode=cfg.padding_mode)
 
     return {"x_s": x_s, "x_a": x_a, "tps": tps, "color": col}

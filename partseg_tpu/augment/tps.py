@@ -131,6 +131,12 @@ class TPSSampler:
         weights = jnp.einsum("ij,...jk->...ik", self._l_inv, rhs)
         return TPSParams(weights=weights)
 
+    def sample_per_key(self, keys: jax.Array) -> TPSParams:
+        """Sample one warp per key: keys [B] (key array) → params with
+        leading dim B. Per-SAMPLE keys make augmentation independent of
+        how the batch is sharded across devices (DP determinism)."""
+        return jax.vmap(lambda k: self.sample(k, ()))(keys)
+
     def identity(self, batch: tuple[int, ...] | int) -> TPSParams:
         """The identity warp (for tests and unwarped streams)."""
         shape = (batch,) if isinstance(batch, int) else tuple(batch)

@@ -31,9 +31,19 @@ class Decoder(nn.Module):
 
     out_size: int = 128
     n_scales: int = 4
-    features: int = 128
+    # Channel pyramid, coarse → fine. Halving features as resolution
+    # doubles keeps per-scale conv cost roughly constant instead of
+    # exploding at full res (the profiled decoder hotspot). An int means
+    # the same width everywhere.
+    features: Any = (256, 128, 64, 32)
     render_kernel: str = "gauss"
+    use_pallas: bool = True
     dtype: Any = jnp.bfloat16
+
+    def _feat(self, i: int) -> int:
+        if isinstance(self.features, int):
+            return self.features
+        return self.features[min(i, len(self.features) - 1)]
 
     @nn.compact
     def __call__(
@@ -46,13 +56,21 @@ class Decoder(nn.Module):
         x = None
         for i in range(self.n_scales):
             res = self.out_size // (2 ** (self.n_scales - 1 - i))
-            blobs = render_gaussians(
-                mu, sigma, res, res,
-                kernel=self.render_kernel, precision=lam, dtype=self.dtype,
-            )
-            feat = assemble_decoder_input(blobs, app)       # [B, res, res, C]
+            if self.use_pallas:
+                from partseg_tpu.partops.pallas import render_assemble
+
+                feat = render_assemble(
+                    mu, lam, app, res, res, self.render_kernel
+                ).astype(self.dtype)
+            else:
+                blobs = render_gaussians(
+                    mu, sigma, res, res,
+                    kernel=self.render_kernel, precision=lam, dtype=self.dtype,
+                )
+                feat = assemble_decoder_input(blobs, app)   # [B, res, res, C]
             x = feat if x is None else jnp.concatenate([upsample2x(x), feat], axis=-1)
-            x = ResBlock(self.features, dtype=self.dtype)(x)
-            x = ResBlock(self.features, dtype=self.dtype)(x)
+            f = self._feat(i)
+            x = ResBlock(f, dtype=self.dtype)(x)
+            x = ResBlock(f, dtype=self.dtype)(x)
         rgb = nn.Conv(3, (1, 1), dtype=jnp.float32, param_dtype=jnp.float32)(x)
         return nn.sigmoid(rgb)

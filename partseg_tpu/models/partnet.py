@@ -42,8 +42,10 @@ class PartNetConfig:
     n_stacks: int = 1                # stacked hourglasses in the shape encoder
     app_features: int = 128          # appearance vector dim C
     decoder_scales: int = 4
+    decoder_features: Any = (256, 128, 64, 32)  # channel pyramid coarse→fine
     render_kernel: str = "gauss"     # "gauss" | "heavy_tail" (§7.4 risk 1 knob)
     spatial_norm: str = "softmax"    # "softmax" | "divide" (§7.4 risk 1 knob)
+    use_pallas: bool = True          # fused kernels (interpret mode off-TPU)
     dtype: Any = jnp.bfloat16
 
     @property
@@ -80,7 +82,8 @@ class PartNet(nn.Module):
         )
         self.decoder = Decoder(
             out_size=c.img_size, n_scales=c.decoder_scales,
-            features=c.features, render_kernel=c.render_kernel, dtype=c.dtype,
+            features=c.decoder_features, render_kernel=c.render_kernel,
+            use_pallas=c.use_pallas, dtype=c.dtype,
         )
 
     # ------------------------------------------------------------- components
@@ -99,6 +102,10 @@ class PartNet(nn.Module):
         k = self.cfg.n_parts
         fg = logits[..., :k]
         if self.cfg.spatial_norm == "softmax":
+            if self.cfg.use_pallas:
+                from partseg_tpu.partops.pallas import softmax_moments
+
+                return softmax_moments(fg)
             parts = spatial_softmax(fg)
         else:
             parts = _normalize_divide(fg)
@@ -115,10 +122,12 @@ class PartNet(nn.Module):
     # ------------------------------------------------------------ full forward
 
     def __call__(self, x_s: jax.Array, x_a: jax.Array) -> PartNetOutputs:
-        logits_a = self.shape_enc(x_a)
+        # One batched forward for both streams: 2B batch keeps the MXU
+        # fuller and halves kernel launches vs two B-sized calls.
+        b = x_s.shape[0]
+        logits_both = self.shape_enc(jnp.concatenate([x_a, x_s], axis=0))
+        logits_a, logits_s = logits_both[:b], logits_both[b:]
         parts_a, mu_a, sigma_a = self.shape_stats(logits_a)
-
-        logits_s = self.shape_enc(x_s)
         parts_s, mu_s, sigma_s = self.shape_stats(logits_s)
 
         feats_s = self.app_enc(x_s)

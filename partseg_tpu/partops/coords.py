@@ -18,20 +18,24 @@ from __future__ import annotations
 import functools
 
 import jax.numpy as jnp
+import numpy as np
+
+# The caches hold NUMPY arrays, never jnp: jnp ops inside a jit trace
+# produce tracers, and caching a tracer leaks it into later traces.
 
 
 @functools.lru_cache(maxsize=32)
 def _coord_grid_cached(h: int, w: int) -> tuple:
-    ys = -1.0 + (2.0 * (jnp.arange(h, dtype=jnp.float32) + 0.5)) / h
-    xs = -1.0 + (2.0 * (jnp.arange(w, dtype=jnp.float32) + 0.5)) / w
-    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    ys = -1.0 + (2.0 * (np.arange(h, dtype=np.float32) + 0.5)) / h
+    xs = -1.0 + (2.0 * (np.arange(w, dtype=np.float32) + 0.5)) / w
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
     return yy, xx
 
 
 def coord_grid(h: int, w: int, dtype=jnp.float32):
     """Return (yy, xx), each [H, W], normalized pixel-center coords in [-1, 1]."""
     yy, xx = _coord_grid_cached(h, w)
-    return yy.astype(dtype), xx.astype(dtype)
+    return jnp.asarray(yy, dtype), jnp.asarray(xx, dtype)
 
 
 @functools.lru_cache(maxsize=32)
@@ -41,7 +45,7 @@ def _moment_basis_cached(h: int, w: int):
     x = xx.reshape(-1)
     # Columns: [y, x, y*y, y*x, x*x] — one matmul against the normalized
     # part maps yields all first and second raw moments (MXU-friendly).
-    return jnp.stack([y, x, y * y, y * x, x * x], axis=-1)  # [H*W, 5]
+    return np.stack([y, x, y * y, y * x, x * x], axis=-1)  # [H*W, 5]
 
 
 def moment_basis(h: int, w: int, dtype=jnp.float32):
@@ -50,4 +54,4 @@ def moment_basis(h: int, w: int, dtype=jnp.float32):
     ``p_flat @ moment_basis`` gives raw moments E[y], E[x], E[y²], E[yx],
     E[x²] of a spatial distribution p in one MXU contraction.
     """
-    return _moment_basis_cached(h, w).astype(dtype)
+    return jnp.asarray(_moment_basis_cached(h, w), dtype)

@@ -22,5 +22,11 @@ def use_interpret() -> bool:
 
 from partseg_tpu.partops.pallas.render_assemble import render_assemble
 from partseg_tpu.partops.pallas.softmax_moments import softmax_moments
+from partseg_tpu.partops.pallas.bilinear_warp import bilinear_sample_fused
 
-__all__ = ["render_assemble", "softmax_moments", "use_interpret"]
+__all__ = [
+    "render_assemble",
+    "softmax_moments",
+    "bilinear_sample_fused",
+    "use_interpret",
+]

@@ -34,20 +34,20 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(mu_ref, lam_ref, app_ref, out_ref, *, h, w, tile, kernel_kind):
-    t = pl.program_id(1)
-    # Global flat pixel ids for this tile -> (y, x) pixel-center coords.
-    p = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + t * tile
-    y = (p // w).astype(jnp.float32)
-    x = (p % w).astype(jnp.float32)
-    yc = -1.0 + (2.0 * y + 1.0) / h                      # [T, 1]
-    xc = -1.0 + (2.0 * x + 1.0) / w
+def _kernel(grid_ref, par_ref, app_ref, out_ref, *, kernel_kind):
+    # Pixel-center coords for this tile come in as a precomputed table,
+    # and the per-part scalars (mu_y, mu_x, l00, l01, l11) as ROWS of a
+    # [8, Kp] block — natural sublane/lane layouts throughout. Earlier
+    # variants (in-kernel iota + div/mod; lane-dim-2 mu/lam blocks)
+    # forced Mosaic into ~48 MB of scoped-vmem relayout temporaries.
+    yc = grid_ref[:, 0:1]                                # [T, 1]
+    xc = grid_ref[:, 1:2]
 
-    mu_y = mu_ref[0, :, 0][None, :]                      # [1, Kp]
-    mu_x = mu_ref[0, :, 1][None, :]
-    l00 = lam_ref[0, :, 0][None, :]
-    l01 = lam_ref[0, :, 1][None, :]
-    l11 = lam_ref[0, :, 2][None, :]
+    mu_y = par_ref[0, 0:1, :]                            # [1, Kp]
+    mu_x = par_ref[0, 1:2, :]
+    l00 = par_ref[0, 2:3, :]
+    l01 = par_ref[0, 3:4, :]
+    l11 = par_ref[0, 4:5, :]
 
     dy = yc - mu_y                                       # [T, Kp]
     dx = xc - mu_x
@@ -97,27 +97,30 @@ def _forward(mu, lam, app, h, w, kernel, interpret):
     tile = min(512, hw)
     assert hw % tile == 0, (h, w, tile)
 
-    muf = jnp.zeros((b, kp, 2), jnp.float32).at[:, :k].set(mu.astype(jnp.float32))
-    # Padded parts: lam=I so d grows away from origin; app=0 kills them.
-    lam_packed = jnp.stack(
-        [lam[..., 0, 0], lam[..., 0, 1], lam[..., 1, 1]], axis=-1
-    ).astype(jnp.float32)                                 # [B, K, 3]
-    lamf = (
-        jnp.zeros((b, kp, 3), jnp.float32)
-        .at[:, :, 0].set(1.0)
-        .at[:, :, 2].set(1.0)
-        .at[:, :k].set(lam_packed)
-    )
+    # Rows: mu_y, mu_x, l00, l01, l11 (padded parts get lam=I so d grows
+    # away from the origin; their app rows are 0, killing them).
+    par = jnp.zeros((b, 8, kp), jnp.float32)
+    par = par.at[:, 2, :].set(1.0).at[:, 4, :].set(1.0)
+    par = par.at[:, 0, :k].set(mu[..., 0].astype(jnp.float32))
+    par = par.at[:, 1, :k].set(mu[..., 1].astype(jnp.float32))
+    par = par.at[:, 2, :k].set(lam[..., 0, 0].astype(jnp.float32))
+    par = par.at[:, 3, :k].set(lam[..., 0, 1].astype(jnp.float32))
+    par = par.at[:, 4, :k].set(lam[..., 1, 1].astype(jnp.float32))
     appf = jnp.zeros((b, kp, cp), jnp.float32).at[:, :k, :c].set(
         app.astype(jnp.float32)
     )
 
+    from partseg_tpu.partops.coords import coord_grid
+
+    yy, xx = coord_grid(h, w)
+    grid_tab = jnp.stack([yy.reshape(-1), xx.reshape(-1)], axis=-1)  # [HW, 2]
+
     out = pl.pallas_call(
-        functools.partial(_kernel, h=h, w=w, tile=tile, kernel_kind=kernel),
+        functools.partial(_kernel, kernel_kind=kernel),
         grid=(b, hw // tile),
         in_specs=[
-            pl.BlockSpec((1, kp, 2), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kp, 3), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2), lambda i, t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, kp), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kp, cp), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -125,7 +128,7 @@ def _forward(mu, lam, app, h, w, kernel, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct((b, hw, cp), jnp.float32),
         interpret=interpret,
-    )(muf, lamf, appf)
+    )(grid_tab, par, appf)
     return out[:, :, :c].reshape(b, h, w, c)
 
 

@@ -23,6 +23,7 @@ def bilinear_sample(
     image: jax.Array,
     coords: jax.Array,
     padding_mode: str = "border",
+    impl: str = "auto",
 ) -> jax.Array:
     """Sample `image` at normalized coordinates.
 
@@ -31,10 +32,24 @@ def bilinear_sample(
       coords: [B, N, 2] sampling locations (y, x) in [-1, 1]
               (values outside are handled per `padding_mode`).
       padding_mode: "border" or "zeros".
+      impl: "auto" (fused Pallas kernel on TPU, gather elsewhere),
+            "fused", or "gather" (the XLA-gather reference path).
 
     Returns:
       [B, N, C] sampled values, dtype of `image`.
     """
+    if impl == "auto":
+        impl = "fused" if jax.default_backend() == "tpu" else "gather"
+    if impl == "fused":
+        from partseg_tpu.partops.pallas import bilinear_sample_fused
+
+        out = bilinear_sample_fused(image, coords)
+        if padding_mode == "zeros":
+            out = out * _zeros_fade(image.shape, coords).astype(out.dtype)
+        elif padding_mode != "border":
+            raise ValueError(f"unknown padding_mode: {padding_mode!r}")
+        return out
+
     b, h, w, c = image.shape
     n = coords.shape[1]
     cf = coords.astype(jnp.float32)
@@ -72,21 +87,31 @@ def bilinear_sample(
     out = top + (bot - top) * wyf                               # [B, N, C]
 
     if padding_mode == "zeros":
-        inside = (
-            (fy >= -1.0) & (fy <= h + 0.0) & (fx >= -1.0) & (fx <= w + 0.0)
-        )
-        # Linear fade at the border: weight of in-bounds taps only.
-        iy = jnp.clip(jnp.minimum(fy + 1.0, h - fy), 0.0, 1.0)
-        ix = jnp.clip(jnp.minimum(fx + 1.0, w - fx), 0.0, 1.0)
-        mask = (inside.astype(jnp.float32) * iy * ix)[..., None]
-        out = out * mask.astype(out.dtype)
+        out = out * _zeros_fade(image.shape, coords).astype(out.dtype)
     elif padding_mode != "border":
         raise ValueError(f"unknown padding_mode: {padding_mode!r}")
     return out
 
 
+def _zeros_fade(image_shape, coords: jax.Array) -> jax.Array:
+    """[B, N, 1] multiplier implementing padding_mode="zeros": linear
+    fade to 0 at the image border (pure function of the coords, shared
+    by the gather and fused implementations)."""
+    _, h, w, _ = image_shape
+    cf = coords.astype(jnp.float32)
+    fy = (cf[..., 0] + 1.0) * (0.5 * h) - 0.5
+    fx = (cf[..., 1] + 1.0) * (0.5 * w) - 0.5
+    inside = (fy >= -1.0) & (fy <= h + 0.0) & (fx >= -1.0) & (fx <= w + 0.0)
+    iy = jnp.clip(jnp.minimum(fy + 1.0, h - fy), 0.0, 1.0)
+    ix = jnp.clip(jnp.minimum(fx + 1.0, w - fx), 0.0, 1.0)
+    return (inside.astype(jnp.float32) * iy * ix)[..., None]
+
+
 def warp_image(
-    image: jax.Array, flow_coords: jax.Array, padding_mode: str = "border"
+    image: jax.Array,
+    flow_coords: jax.Array,
+    padding_mode: str = "border",
+    impl: str = "auto",
 ) -> jax.Array:
     """Backward-warp an image with a dense coordinate field.
 
@@ -99,5 +124,7 @@ def warp_image(
       [B, Ho, Wo, C] warped image.
     """
     b, ho, wo, _ = flow_coords.shape
-    out = bilinear_sample(image, flow_coords.reshape(b, ho * wo, 2), padding_mode)
+    out = bilinear_sample(
+        image, flow_coords.reshape(b, ho * wo, 2), padding_mode, impl
+    )
     return out.reshape(b, ho, wo, image.shape[-1])

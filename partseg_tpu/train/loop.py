@@ -14,6 +14,7 @@ from typing import Any, Iterator
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from partseg_tpu.data.loader import make_loader
 from partseg_tpu.data.registry import build_dataset
@@ -50,6 +51,30 @@ def build_perceptual(cfg: TrainConfig) -> PerceptualLoss:
     )
 
 
+def build_step_fn(cfg, model, sampler, perceptual, mesh):
+    """Compile the train step for the mesh.
+
+    Multi-device: shard_map with explicit pmean — required so Pallas
+    kernels stay shard-local (pjit auto-sharding can't partition custom
+    calls). Single device: plain jit.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if mesh.size > 1:
+        body = make_train_step(cfg, model, sampler, perceptual, axis_name="data")
+        batch_spec = {"image": P("data"), "aug_id": P("data")}
+        sharded = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), batch_spec, P()),
+            out_specs=(P(), P()),
+        )
+        return jax.jit(sharded, donate_argnums=0)
+    return jax.jit(
+        make_train_step(cfg, model, sampler, perceptual), donate_argnums=0
+    )
+
+
 def train(
     cfg: TrainConfig,
     *,
@@ -81,9 +106,7 @@ def train(
             state, start_step = restored
             print(f"[train] restored checkpoint at step {start_step}")
 
-    step_fn = jax.jit(
-        make_train_step(cfg, model, sampler, perceptual), donate_argnums=0
-    )
+    step_fn = build_step_fn(cfg, model, sampler, perceptual, mesh)
     viz_fn = jax.jit(lambda p, a: model.apply(p, a, a))  # compiled once
 
     if data_iter is None:
@@ -105,7 +128,13 @@ def train(
         if cfg.profile_steps and step == cfg.profile_steps[0]:
             jax.profiler.start_trace(os.path.join(cfg.ckpt_dir, "profile"))
         batch = next(data_iter)
-        device_batch = {"image": jax.device_put(batch["image"], bsh)}
+        # Global sample ids drive per-sample augmentation keys, making
+        # the draw identical under any sharding (see step.py).
+        aug_id = np.arange(cfg.global_batch, dtype=np.int32) + step * cfg.global_batch
+        device_batch = {
+            "image": jax.device_put(batch["image"], bsh),
+            "aug_id": jax.device_put(aug_id, bsh),
+        }
         state, metrics = step_fn(state, device_batch, base_key)
         imgs_since += cfg.global_batch
 

@@ -30,13 +30,27 @@ def make_train_step(
     model: PartNet,
     sampler: TPSSampler,
     perceptual: PerceptualLoss,
+    axis_name: str | None = None,
 ) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
-    """Build the (un-jitted) train step closure. Caller jits with
-    donate_argnums=0 and the desired shardings."""
+    """Build the (un-jitted) train step closure.
+
+    axis_name=None: caller jits directly (single device / pjit auto-DP).
+    axis_name="data": per-shard SPMD body for shard_map — gradients and
+    metrics are pmean'd over the axis explicitly. shard_map is the
+    multi-chip path: Pallas kernels inside stay shard-local (pjit
+    auto-sharding cannot partition custom calls).
+
+    If `batch` contains "aug_id" (global sample ids), augmentation keys
+    are derived per sample, so the draw is identical regardless of the
+    device topology.
+    """
     optimizer = make_optimizer(cfg.optim)
     lw = cfg.loss
 
-    def loss_fn(params, images: jax.Array, key: jax.Array):
+    def loss_fn(params, batch: dict, key: jax.Array):
+        images = batch["image"]
+        if "aug_id" in batch:
+            key = jax.vmap(lambda i: jax.random.fold_in(key, i))(batch["aug_id"])
         pair = make_pair(images, key, sampler, cfg.augment)
         out = model.apply(params, pair["x_s"], pair["x_a"])
         l_rec = perceptual(out.recon, images)
@@ -68,8 +82,11 @@ def make_train_step(
     def train_step(state: TrainState, batch: dict, key: jax.Array):
         key = jax.random.fold_in(key, state.step)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch["image"], key
+            state.params, batch, key
         )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)

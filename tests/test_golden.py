@@ -19,7 +19,7 @@ def compute_goldens() -> dict[str, np.ndarray]:
     from partseg_tpu.models.partnet import PartNet, PartNetConfig
 
     cfg = PartNetConfig(n_parts=4, img_size=32, features=32, depth=2,
-                        app_features=16, decoder_scales=3)
+                        app_features=16, decoder_scales=3, use_pallas=False)
     model = PartNet(cfg)
     x = jax.random.uniform(jax.random.key(11), (2, 32, 32, 3))
     params = model.init(jax.random.key(12), x, x)

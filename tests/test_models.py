@@ -15,7 +15,7 @@ from partseg_tpu.models import (
 )
 
 CFG = PartNetConfig(n_parts=4, img_size=32, features=32, depth=2,
-                    app_features=16, decoder_scales=3)
+                    app_features=16, decoder_scales=3, use_pallas=False)
 
 
 def test_hourglass_preserves_shape():
@@ -104,6 +104,27 @@ def test_partnet_inference_path(partnet_and_params):
     assert parts.shape == (1, 16, 16, 4)
     assert mu.shape == (1, 4, 2) and sigma.shape == (1, 4, 2, 2)
     assert seg.shape == (1, 16, 16, 5)
+
+
+def test_partnet_pallas_path_matches_reference():
+    # The fused-kernel model path must match the pure-jnp path.
+    import dataclasses
+
+    cfg_ref = PartNetConfig(n_parts=3, img_size=16, features=16, depth=1,
+                            app_features=8, decoder_scales=2, use_pallas=False)
+    cfg_pal = dataclasses.replace(cfg_ref, use_pallas=True)
+    x = jax.random.uniform(jax.random.key(8), (2, 16, 16, 3))
+    params = PartNet(cfg_ref).init(jax.random.key(0), x, x)
+    out_ref = PartNet(cfg_ref).apply(params, x, x)
+    out_pal = PartNet(cfg_pal).apply(params, x, x)
+    np.testing.assert_allclose(
+        np.asarray(out_pal.mu_a), np.asarray(out_ref.mu_a), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pal.recon, np.float32),
+        np.asarray(out_ref.recon, np.float32),
+        atol=2e-2,  # bf16 conv stack downstream of f32-vs-bf16 assembly
+    )
 
 
 def test_partnet_divide_normalization_knob():

@@ -24,7 +24,7 @@ from partseg_tpu.train.step import make_train_step
 
 TINY = TrainConfig(
     model=PartNetConfig(n_parts=3, img_size=16, features=16, depth=1,
-                        app_features=8, decoder_scales=2),
+                        app_features=8, decoder_scales=2, use_pallas=False),
     augment=AugmentConfig(tps_grid=3),
     loss=LossConfig(vgg_layers=("relu1_2",), vgg_trim_blocks=1),
     optim=OptimConfig(lr=1e-3, warmup_steps=10, decay_steps=100),
@@ -47,25 +47,46 @@ def _build(cfg):
 
 
 def test_dp_matches_single_device():
-    # SURVEY.md §4.3: 8-fake-device DP train_step loss/params match
-    # single-device within tolerance.
+    # SURVEY.md §4.3: 8-fake-device shard_map DP train_step loss/params
+    # match single-device within tolerance. Per-sample aug ids make the
+    # augmentation draw sharding-invariant.
+    from partseg_tpu.train.loop import build_step_fn
+
     cfg = TINY
-    _, state, step_fn = _build(cfg)
+    model = PartNet(cfg.model)
+    sampler = cfg.augment.make_sampler()
+    perceptual = build_perceptual(cfg)
+    state = create_state(cfg, model, jax.random.key(0))
     img = np.random.default_rng(0).uniform(0, 1, (8, 16, 16, 3)).astype(np.float32)
+    aug_id = jnp.arange(8, dtype=jnp.int32)
     key = jax.random.key(7)
 
-    # Single device (first CPU device only).
+    # Single device (first CPU device only). Fresh state per topology:
+    # the step donates its input state, which would invalidate a shared
+    # source buffer.
     one = make_mesh(jax.devices()[:1])
-    s1 = jax.device_put(state, replicated_sharding(one))
-    b1 = {"image": jax.device_put(jnp.asarray(img), batch_sharding(one))}
-    ns1, m1 = jax.jit(step_fn)(s1, b1, key)
+    f1 = build_step_fn(cfg, model, sampler, perceptual, one)
+    s1 = jax.device_put(
+        create_state(cfg, model, jax.random.key(0)), replicated_sharding(one)
+    )
+    b1 = {
+        "image": jax.device_put(jnp.asarray(img), batch_sharding(one)),
+        "aug_id": jax.device_put(aug_id, batch_sharding(one)),
+    }
+    ns1, m1 = f1(s1, b1, key)
 
-    # 8-device DP.
+    # 8-device shard_map DP.
     mesh = make_mesh()
     assert mesh.size == 8
-    s8 = jax.device_put(state, replicated_sharding(mesh))
-    b8 = {"image": jax.device_put(jnp.asarray(img), batch_sharding(mesh))}
-    ns8, m8 = jax.jit(step_fn)(s8, b8, key)
+    f8 = build_step_fn(cfg, model, sampler, perceptual, mesh)
+    s8 = jax.device_put(
+        create_state(cfg, model, jax.random.key(0)), replicated_sharding(mesh)
+    )
+    b8 = {
+        "image": jax.device_put(jnp.asarray(img), batch_sharding(mesh)),
+        "aug_id": jax.device_put(aug_id, batch_sharding(mesh)),
+    }
+    ns8, m8 = f8(s8, b8, key)
 
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-4)
     l1 = jax.tree_util.tree_leaves(ns1.params)
