@@ -23,6 +23,9 @@ def main(argv=None):
     ap.add_argument("--dataset", default=None, help="override cfg.dataset")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--max_batches", type=int, default=None)
+    ap.add_argument("--dump", default=None, metavar="OUT.npz",
+                    help="also dump mu + ground truth for offline analysis "
+                         "(the reference iterator's eval_op role)")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -38,6 +41,19 @@ def main(argv=None):
         build_dataset(name, split="test", **kwargs),
         args.batch, shuffle=False, num_epochs=1,
     )
+    if args.dump:
+        import numpy as np
+
+        from partseg_tpu.evals.landmarks import collect_mu
+
+        mu_te, gt_te = collect_mu(model, params, test_it, args.max_batches)
+        np.savez_compressed(args.dump, mu=mu_te, landmarks=gt_te)
+        print(f"[eval] dumped {len(mu_te)} examples to {args.dump}")
+        test_it = make_loader(
+            build_dataset(name, split="test", **kwargs),
+            args.batch, shuffle=False, num_epochs=1,
+        )
+
     metrics = evaluate_landmarks(
         model, params, train_it, test_it, max_batches=args.max_batches
     )

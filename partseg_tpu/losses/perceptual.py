@@ -37,15 +37,18 @@ class PerceptualLoss:
         self.pixel_weight = pixel_weight
 
     def __call__(self, x_hat: jax.Array, x: jax.Array) -> jax.Array:
-        both = jnp.concatenate([x_hat, x.astype(x_hat.dtype)], axis=0)
-        feats = self.model.apply(self.params, both)
-        b = x_hat.shape[0]
+        # Target features carry no gradient (x is data): stop_gradient
+        # lets XLA prune the whole backward for the target half instead
+        # of back-propagating zeros through a 2B-batch VGG.
+        feats_hat = self.model.apply(self.params, x_hat)
+        feats_tgt = jax.lax.stop_gradient(
+            self.model.apply(self.params, x.astype(x_hat.dtype))
+        )
         loss = jnp.float32(0.0)
         for name, w in zip(self.extract, self.layer_weights):
-            f = feats[name].astype(jnp.float32)
-            # Normalize per layer by feature magnitude scale so layer
-            # weights are comparable across depths.
-            diff = jnp.mean(jnp.abs(f[:b] - f[b:]))
+            f1 = feats_hat[name].astype(jnp.float32)
+            f2 = feats_tgt[name].astype(jnp.float32)
+            diff = jnp.mean(jnp.abs(f1 - f2))
             loss = loss + w * diff
         if self.pixel_weight:
             loss = loss + self.pixel_weight * jnp.mean(

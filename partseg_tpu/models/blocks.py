@@ -21,7 +21,9 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         g = min(self.groups, x.shape[-1])
-        x = nn.GroupNorm(num_groups=g, dtype=jnp.float32)(x)
+        # bf16 compute dtype: statistics are still accumulated in f32
+        # internally by flax; this halves the normalization's HBM traffic.
+        x = nn.GroupNorm(num_groups=g, dtype=self.dtype)(x)
         x = nn.relu(x)
         return nn.Conv(
             self.features,

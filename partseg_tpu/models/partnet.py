@@ -112,6 +112,11 @@ class PartNet(nn.Module):
         mu, sigma = soft_argmax_moments(parts)
         return parts, mu, sigma
 
+    def encode_appearance(self, x: jax.Array) -> jax.Array:
+        """x [B,S,S,3] → appearance features [B,S/2,S/2,C] (for pooling;
+        the appearance-transfer path, SURVEY.md §3.4)."""
+        return self.app_enc(x)
+
     def segmentation(self, logits: jax.Array) -> jax.Array:
         """Per-pixel part softmax over K(+bg) channels (GCPR'20 path)."""
         return part_softmax(logits)
