@@ -10,20 +10,26 @@ import jax.numpy as jnp
 
 
 class ConvBlock(nn.Module):
-    """GroupNorm → activation → 3×3 conv (pre-activation ordering)."""
+    """norm → activation → conv (pre-activation ordering).
+
+    norm: "group" (default) or "none" — normalization is a measurable
+    share of the memory-bound cost on TPU, so it is a knob.
+    """
 
     features: int
     kernel: int = 3
     stride: int = 1
     groups: int = 8
+    norm: str = "group"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        g = min(self.groups, x.shape[-1])
-        # bf16 compute dtype: statistics are still accumulated in f32
-        # internally by flax; this halves the normalization's HBM traffic.
-        x = nn.GroupNorm(num_groups=g, dtype=self.dtype)(x)
+        if self.norm == "group":
+            g = min(self.groups, x.shape[-1])
+            # bf16 compute dtype: statistics are still accumulated in f32
+            # internally by flax; halves the normalization's HBM traffic.
+            x = nn.GroupNorm(num_groups=g, dtype=self.dtype)(x)
         x = nn.relu(x)
         return nn.Conv(
             self.features,
@@ -42,14 +48,15 @@ class ResBlock(nn.Module):
     """
 
     features: int
+    norm: str = "group"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         half = max(self.features // 2, 8)
-        y = ConvBlock(half, kernel=1, dtype=self.dtype)(x)
-        y = ConvBlock(half, kernel=3, dtype=self.dtype)(y)
-        y = ConvBlock(self.features, kernel=1, dtype=self.dtype)(y)
+        y = ConvBlock(half, kernel=1, norm=self.norm, dtype=self.dtype)(x)
+        y = ConvBlock(half, kernel=3, norm=self.norm, dtype=self.dtype)(y)
+        y = ConvBlock(self.features, kernel=1, norm=self.norm, dtype=self.dtype)(y)
         if x.shape[-1] != self.features:
             x = nn.Conv(
                 self.features, (1, 1), dtype=self.dtype, param_dtype=jnp.float32

@@ -59,7 +59,8 @@ def main():
     p_app = app_enc.init(key, x)
     bench("app_enc fwd", lambda p, x: app_enc.apply(p, x), p_app, x)
 
-    dec = Decoder(out_size=S, n_scales=CFG.decoder_scales, features=CFG.features)
+    dec = Decoder(out_size=S, n_scales=CFG.decoder_scales,
+                  features=CFG.decoder_features)
     mu = jax.random.uniform(key, (B, 10, 2), minval=-0.5, maxval=0.5)
     sigma = 0.02 * jnp.broadcast_to(jnp.eye(2), (B, 10, 2, 2))
     app = jax.random.normal(key, (B, 10, CFG.app_features))
