@@ -78,4 +78,10 @@ def main(batch_per_chip: int = 64, steps: int = 20, warmup: int = 3):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64, help="per-chip batch")
+    ap.add_argument("--steps", type=int, default=20)
+    a = ap.parse_args()
+    main(batch_per_chip=a.batch, steps=a.steps)

@@ -18,19 +18,25 @@ from partseg_tpu.models.hourglass import Hourglass
 
 
 class _Stem(nn.Module):
-    """7×7/2 conv stem + residual: [B, H, W, 3] → [B, H/2, W/2, F]."""
+    """Space-to-depth stem: [B, H, W, 3] → [B, H/2, W/2, F].
+
+    A 2×2 space-to-depth (3 → 12 channels) followed by a 3×3 conv
+    replaces the classic 7×7/2 conv: a stride-2 conv on a 3-channel
+    NHWC tensor runs at 3/128 lane utilization on the MXU, while the
+    12-channel stride-1 form does the same receptive-field work on a
+    4× smaller spatial grid with 4× the channels.
+    """
 
     features: int
     dtype: Any
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
         x = nn.Conv(
-            self.features // 2,
-            (7, 7),
-            strides=(2, 2),
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
+            self.features // 2, (3, 3), dtype=self.dtype, param_dtype=jnp.float32
         )(x)
         return ResBlock(self.features, dtype=self.dtype)(x)
 
