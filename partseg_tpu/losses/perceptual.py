@@ -26,6 +26,7 @@ class PerceptualLoss:
         layer_weights: Sequence[float] | None = None,
         pixel_weight: float = 1.0,
         trim_blocks: int = 5,
+        feature_resolution: int | None = None,
         dtype: Any = jnp.bfloat16,
     ):
         self.model = VGG19Features(extract=tuple(extract), trim_blocks=trim_blocks, dtype=dtype)
@@ -35,15 +36,27 @@ class PerceptualLoss:
             tuple(layer_weights) if layer_weights is not None else (1.0,) * len(extract)
         )
         self.pixel_weight = pixel_weight
+        # feature_resolution < image size downsamples BOTH inputs before
+        # the VGG (throughput knob: the VGG is ~2/3 of the step's FLOPs;
+        # halving resolution cuts them 4×). The pixel term stays full-res.
+        self.feature_resolution = feature_resolution
 
     def __call__(self, x_hat: jax.Array, x: jax.Array) -> jax.Array:
         # Target features carry no gradient (x is data): stop_gradient
         # lets XLA prune the whole backward for the target half instead
         # of back-propagating zeros through a 2B-batch VGG.
-        feats_hat = self.model.apply(self.params, x_hat)
-        feats_tgt = jax.lax.stop_gradient(
-            self.model.apply(self.params, x.astype(x_hat.dtype))
-        )
+        vh, vt = x_hat, x.astype(x_hat.dtype)
+        r = self.feature_resolution
+        if r is not None and r < x_hat.shape[1]:
+            k = x_hat.shape[1] // r
+            vh = jax.lax.reduce_window(
+                vh, 0.0, jax.lax.add, (1, k, k, 1), (1, k, k, 1), "VALID"
+            ) / (k * k)
+            vt = jax.lax.reduce_window(
+                vt, 0.0, jax.lax.add, (1, k, k, 1), (1, k, k, 1), "VALID"
+            ) / (k * k)
+        feats_hat = self.model.apply(self.params, vh)
+        feats_tgt = jax.lax.stop_gradient(self.model.apply(self.params, vt))
         loss = jnp.float32(0.0)
         for name, w in zip(self.extract, self.layer_weights):
             f1 = feats_hat[name].astype(jnp.float32)

@@ -49,13 +49,15 @@ class ShapeEncoder(nn.Module):
     depth: int = 4
     features: int = 128
     n_stacks: int = 1
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        hg = nn.remat(Hourglass) if self.remat else Hourglass
         x = _Stem(self.features, self.dtype)(x)
         for _ in range(self.n_stacks):
-            x = Hourglass(self.depth, self.features, dtype=self.dtype)(x)
+            x = hg(self.depth, self.features, dtype=self.dtype)(x)
         x = ConvBlock(self.features, kernel=1, dtype=self.dtype)(x)
         k = self.n_parts + (1 if self.background else 0)
         # Logit head in f32: feeds softmaxes directly.
@@ -68,12 +70,14 @@ class AppearanceEncoder(nn.Module):
     out_features: int = 128
     depth: int = 4
     features: int = 128
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        hg = nn.remat(Hourglass) if self.remat else Hourglass
         x = _Stem(self.features, self.dtype)(x)
-        x = Hourglass(self.depth, self.features, dtype=self.dtype)(x)
+        x = hg(self.depth, self.features, dtype=self.dtype)(x)
         x = ConvBlock(self.features, kernel=1, dtype=self.dtype)(x)
         return nn.Conv(
             self.out_features, (1, 1), dtype=self.dtype, param_dtype=jnp.float32

@@ -46,6 +46,7 @@ class PartNetConfig:
     render_kernel: str = "gauss"     # "gauss" | "heavy_tail" (§7.4 risk 1 knob)
     spatial_norm: str = "softmax"    # "softmax" | "divide" (§7.4 risk 1 knob)
     use_pallas: bool = True          # fused kernels (interpret mode off-TPU)
+    remat: bool = False              # rematerialize hourglasses (memory↓, FLOPs↑)
     dtype: Any = jnp.bfloat16
 
     @property
@@ -74,11 +75,12 @@ class PartNet(nn.Module):
         c = self.cfg
         self.shape_enc = ShapeEncoder(
             n_parts=c.n_parts, background=c.background, depth=c.depth,
-            features=c.features, n_stacks=c.n_stacks, dtype=c.dtype,
+            features=c.features, n_stacks=c.n_stacks, remat=c.remat,
+            dtype=c.dtype,
         )
         self.app_enc = AppearanceEncoder(
             out_features=c.app_features, depth=c.depth,
-            features=c.features, dtype=c.dtype,
+            features=c.features, remat=c.remat, dtype=c.dtype,
         )
         self.decoder = Decoder(
             out_size=c.img_size, n_scales=c.decoder_scales,

@@ -27,6 +27,7 @@ class LossConfig:
     vgg_layer_weights: tuple | None = None
     vgg_trim_blocks: int = 4          # drop conv5: ~halves loss FLOPs (SURVEY §6)
     vgg_npz: str | None = None        # pretrained weights path (or $VGG19_NPZ)
+    vgg_resolution: int | None = None # downsample inputs to the VGG (perf knob)
     # Appearance-swap consistency [B:8,10]: decode with batch-rolled
     # appearance vectors and require the re-encoded part locations to
     # stay put (shape invariant under appearance transfer). Costs an

@@ -47,6 +47,7 @@ def build_perceptual(cfg: TrainConfig) -> PerceptualLoss:
         layer_weights=lw.vgg_layer_weights,
         pixel_weight=lw.pixel_weight,
         trim_blocks=lw.vgg_trim_blocks,
+        feature_resolution=lw.vgg_resolution,
         dtype=cfg.model.dtype,
     )
 
