@@ -27,7 +27,9 @@ from partseg_tpu.train.step import make_train_step
 BASELINE_IMG_S_CHIP = 8000.0
 
 
-def main(batch_per_chip: int = 64, steps: int = 20, warmup: int = 3):
+def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3):
+    # batch 128/chip measured fastest (64: 595, 128: 815, 256: 781
+    # img/s/chip — HBM pressure beyond 128).
     mesh = make_mesh()
     n_chips = mesh.size
     cfg = TrainConfig(
@@ -81,7 +83,7 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64, help="per-chip batch")
+    ap.add_argument("--batch", type=int, default=128, help="per-chip batch")
     ap.add_argument("--steps", type=int, default=20)
     a = ap.parse_args()
     main(batch_per_chip=a.batch, steps=a.steps)
