@@ -40,6 +40,7 @@ class AugmentConfig:
     # (kept as a knob; default off = paper setup, SURVEY.md §7.4 risk 1).
     warp_appearance_view: bool = False
     padding_mode: str = "border"
+    warp_impl: str = "auto"   # "auto" | "fused" | "gather"
 
     def make_sampler(self) -> TPSSampler:
         return TPSSampler(
@@ -90,7 +91,7 @@ def make_pair(
             k_col, b, cfg.brightness, cfg.contrast, cfg.saturation, cfg.hue
         )
 
-    x_s = sampler.warp(tps, x, padding_mode=cfg.padding_mode)
+    x_s = sampler.warp(tps, x, padding_mode=cfg.padding_mode, impl=cfg.warp_impl)
     x_a = color_jitter(x, col)
     if cfg.warp_appearance_view:
         tps2 = (
@@ -98,6 +99,7 @@ def make_pair(
             if per_sample
             else sampler.sample(k_tps2, b)
         )
-        x_a = sampler.warp(tps2, x_a, padding_mode=cfg.padding_mode)
+        x_a = sampler.warp(tps2, x_a, padding_mode=cfg.padding_mode,
+                           impl=cfg.warp_impl)
 
     return {"x_s": x_s, "x_a": x_a, "tps": tps, "color": col}

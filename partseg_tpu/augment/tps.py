@@ -201,11 +201,15 @@ class TPSSampler:
         return flow.reshape(params.weights.shape[:-2] + (h, w, 2))
 
     def warp(
-        self, params: TPSParams, image: jax.Array, padding_mode: str = "border"
+        self,
+        params: TPSParams,
+        image: jax.Array,
+        padding_mode: str = "border",
+        impl: str = "auto",
     ) -> jax.Array:
         """Warp a batch of images [B, H, W, C] with per-sample params."""
         from partseg_tpu.partops.warp import warp_image
 
         b, h, w, _ = image.shape
         flow = self.flow_field(params, h, w)
-        return warp_image(image, flow, padding_mode=padding_mode)
+        return warp_image(image, flow, padding_mode=padding_mode, impl=impl)

@@ -26,8 +26,11 @@ class SyntheticBlobs:
     seed: int = 0
 
     def __post_init__(self):
-        rng = np.random.default_rng(self.seed)
-        # Fixed constellation of blob centers in [-0.5, 0.5]^2 and colors.
+        # The constellation/colors/radii define the object CLASS and are
+        # deliberately independent of `seed`: train/val/test splits (seeded
+        # differently) must sample the SAME class, else eval regressors
+        # cannot transfer across splits. `seed` only varies the examples.
+        rng = np.random.default_rng(1234 + self.n_blobs)
         self._base = rng.uniform(-0.45, 0.45, size=(self.n_blobs, 2))
         self._colors = rng.uniform(0.3, 1.0, size=(self.n_blobs, 3))
         self._radii = rng.uniform(0.06, 0.14, size=(self.n_blobs,))

@@ -52,16 +52,23 @@ def soft_argmax_moments(p: jax.Array) -> tuple[jax.Array, jax.Array]:
     return mu, sigma
 
 
-def precision_from_cov(sigma: jax.Array, eps: float = 1e-6) -> jax.Array:
+def precision_from_cov(sigma: jax.Array, eps: float = 1e-4) -> jax.Array:
     """Closed-form 2×2 inverse of Σ + eps·I (SURVEY.md §2.1).
 
     sigma: [..., 2, 2] SPD → precision Λ = (Σ + eps I)⁻¹, same shape, f32.
+
+    eps floors the blob std at 0.01 (≈ ⅓ of a 64²-map pixel in [-1,1]
+    coords). Tighter floors let Λ and especially ∂Λ/∂Σ ∝ Λ² overflow
+    f32 once the equivariance loss sharpens parts (observed: training
+    NaN'd at step ~130 on synthetic with eps=1e-6).
     """
     s = sigma.astype(jnp.float32)
     a = s[..., 0, 0] + eps
     bq = s[..., 0, 1]
     d = s[..., 1, 1] + eps
-    det = a * d - bq * bq
+    # det floor: guards against numerically indefinite inputs flipping
+    # the precision's sign (which would turn the Gaussian into exp(+d)).
+    det = jnp.maximum(a * d - bq * bq, eps * eps)
     inv_det = 1.0 / det
     row0 = jnp.stack([d * inv_det, -bq * inv_det], axis=-1)
     row1 = jnp.stack([-bq * inv_det, a * inv_det], axis=-1)

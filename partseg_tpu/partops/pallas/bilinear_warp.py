@@ -62,13 +62,10 @@ def _kernel(img_ref, crd_ref, out_ref, *, h, w, c, tile, with_grads):
     # matmul y-interpolates all channels at once; the x-taps reduce per
     # channel on static lane slices.
     if not with_grads:
-        # bf16 matmul (2× MXU rate, f32 accumulate): the warped images
-        # feed bf16 encoders, so interpolation at bf16 weight precision
-        # (~0.4% relative) is below the model's own noise floor.
-        rows = jnp.dot(
-            w_y.astype(jnp.bfloat16), img_ref[0].astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
+        # f32 matmul: bf16 was measured to give ZERO speedup here (the
+        # kernel is VPU/overhead-bound) while costing exactness vs the
+        # gather reference.
+        rows = jnp.dot(w_y, img_ref[0], preferred_element_type=jnp.float32)
         for ch in range(c):
             seg = rows[:, ch * w : (ch + 1) * w]             # [T, W]
             out_ref[0, ch] = jnp.sum(w_x * seg, axis=1)

@@ -51,7 +51,10 @@ def _kernel(grid_ref, par_ref, app_ref, out_ref, *, kernel_kind):
 
     dy = yc - mu_y                                       # [T, Kp]
     dx = xc - mu_x
-    d = l00 * dy * dy + 2.0 * l01 * dy * dx + l11 * dx * dx
+    # Clamp: numerically indefinite Λ must not turn exp(−½d) into exp(+).
+    d = jnp.maximum(
+        l00 * dy * dy + 2.0 * l01 * dy * dx + l11 * dx * dx, 0.0
+    )
     if kernel_kind == "gauss":
         phi = jnp.exp(-0.5 * d)
     else:
@@ -140,7 +143,7 @@ def _phi_and_diffs(mu, lam, h, w, kernel):
     u = jnp.stack([yy.reshape(-1), xx.reshape(-1)], -1)   # [HW, 2]
     diff = u[None, :, None, :] - mu[:, None, :, :].astype(jnp.float32)  # [B,HW,K,2]
     lamf = lam.astype(jnp.float32)
-    d = jnp.einsum("bnki,bkij,bnkj->bnk", diff, lamf, diff)
+    d = jnp.maximum(jnp.einsum("bnki,bkij,bnkj->bnk", diff, lamf, diff), 0.0)
     if kernel == "gauss":
         phi = jnp.exp(-0.5 * d)
         dphi_dd = -0.5 * phi

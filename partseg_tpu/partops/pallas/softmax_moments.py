@@ -35,8 +35,17 @@ def _kernel(logits_ref, basis_ref, parts_ref, raw_ref):
     s = jnp.sum(e, axis=0, keepdims=True)
     p = e / s
     parts_ref[0] = p
-    # [8, HW] @ [HW, Kp] — tiny-M matmul, rides the MXU once per batch elt.
-    raw_ref[0] = jnp.dot(basis_ref[:], p, preferred_element_type=jnp.float32)
+    # [8, HW] @ [HW, Kp] — tiny-M matmul. HIGHEST precision is MANDATORY:
+    # at default (bf16 MXU) precision the covariance E[u²] − E[u]² cancels
+    # catastrophically once parts sharpen, Σ goes indefinite, and the
+    # downstream exp(−½ uᵀΛu) blows up (observed: training NaN at ~step
+    # 170 on synthetic; SURVEY.md §7.4 risk 5).
+    raw_ref[0] = jax.lax.dot_general(
+        basis_ref[:], p,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))

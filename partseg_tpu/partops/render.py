@@ -26,7 +26,7 @@ def render_gaussians(
     h: int,
     w: int,
     kernel: str = "gauss",
-    eps: float = 1e-6,
+    eps: float = 1e-4,
     precision: jax.Array | None = None,
     dtype=jnp.float32,
 ) -> jax.Array:
@@ -50,7 +50,11 @@ def render_gaussians(
     l00 = lam[:, None, None, :, 0, 0]
     l01 = lam[:, None, None, :, 0, 1]
     l11 = lam[:, None, None, :, 1, 1]
-    d = l00 * dy * dy + 2.0 * l01 * dy * dx + l11 * dx * dx
+    # d ≥ 0 for SPD Λ; the clamp is insurance against numerically
+    # indefinite precision matrices (exp(−½·negative) would explode).
+    d = jnp.maximum(
+        l00 * dy * dy + 2.0 * l01 * dy * dx + l11 * dx * dx, 0.0
+    )
     if kernel == "gauss":
         phi = jnp.exp(-0.5 * d)
     elif kernel == "heavy_tail":

@@ -29,6 +29,8 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: TrainState, force: bool = False) -> bool:
+        if force and self._mgr.latest_step() == step:
+            return False  # already saved by the interval policy
         return self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )
