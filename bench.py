@@ -27,18 +27,26 @@ from partseg_tpu.train.step import make_train_step
 BASELINE_IMG_S_CHIP = 8000.0
 
 
-def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3):
+def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
+         config: str | None = None):
     # batch 128/chip measured fastest (64: 595, 128: 815, 256: 781
     # img/s/chip — HBM pressure beyond 128).
     mesh = make_mesh()
     n_chips = mesh.size
-    cfg = TrainConfig(
-        model=PartNetConfig(n_parts=10, img_size=128),
-        augment=AugmentConfig(),
-        loss=LossConfig(),               # vgg_trim_blocks=4 (perf: drop conv5)
-        optim=OptimConfig(),
-        global_batch=batch_per_chip * n_chips,
-    )
+    if config is not None:
+        from partseg_tpu.train.config import load_config
+
+        cfg = load_config(config).replace(global_batch=batch_per_chip * n_chips)
+        if cfg.model.img_size != 128:
+            raise ValueError("headline bench is defined at 128px")
+    else:
+        cfg = TrainConfig(
+            model=PartNetConfig(n_parts=10, img_size=128),
+            augment=AugmentConfig(),
+            loss=LossConfig(),           # vgg_trim_blocks=4 (perf: drop conv5)
+            optim=OptimConfig(),
+            global_batch=batch_per_chip * n_chips,
+        )
     model = PartNet(cfg.model)
     state = create_state(cfg, model, jax.random.key(0))
     state = jax.device_put(state, replicated_sharding(mesh))
@@ -85,5 +93,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128, help="per-chip batch")
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--config", default=None,
+                    help="bench an alternative 128px training config")
     a = ap.parse_args()
-    main(batch_per_chip=a.batch, steps=a.steps)
+    main(batch_per_chip=a.batch, steps=a.steps, config=a.config)

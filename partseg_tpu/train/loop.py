@@ -131,10 +131,14 @@ def train(
         batch = next(data_iter)
         # Global sample ids drive per-sample augmentation keys, making
         # the draw identical under any sharding (see step.py).
-        aug_id = np.arange(cfg.global_batch, dtype=np.int32) + step * cfg.global_batch
+        aug_id = (
+            np.arange(per_host_batch, dtype=np.int32)
+            + jax.process_index() * per_host_batch
+            + step * cfg.global_batch
+        )
         device_batch = {
-            "image": jax.device_put(batch["image"], bsh),
-            "aug_id": jax.device_put(aug_id, bsh),
+            "image": _globalize(batch["image"], bsh),
+            "aug_id": _globalize(aug_id, bsh),
         }
         state, metrics = step_fn(state, device_batch, base_key)
         imgs_since += cfg.global_batch
@@ -167,6 +171,19 @@ def train(
     ckpt.wait()
     logger.close()
     return jax.device_get(state)
+
+
+def _globalize(host_array, sharding):
+    """Assemble a per-host batch shard into a global sharded array.
+
+    Single-process: plain device_put. Multi-host: each process
+    contributes its local shard of the global batch (DCN-correct;
+    device_put of host-local data with a global sharding would be
+    wrong there)."""
+    if jax.process_count() == 1:
+        return jax.device_put(host_array, sharding)
+    global_shape = (host_array.shape[0] * jax.process_count(),) + host_array.shape[1:]
+    return jax.make_array_from_process_local_data(sharding, host_array, global_shape)
 
 
 def _log_images(logger: MetricLogger, viz_fn, state, batch, step: int):

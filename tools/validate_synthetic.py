@@ -21,7 +21,8 @@ import jax
 import numpy as np
 
 
-def main(steps: int = 600, out_dir: str = "logs/validate_synthetic"):
+def main(steps: int = 600, out_dir: str = "logs/validate_synthetic",
+         overrides: list | None = None):
     from partseg_tpu.data.loader import make_loader
     from partseg_tpu.data.registry import build_dataset
     from partseg_tpu.evals.landmarks import (
@@ -37,6 +38,10 @@ def main(steps: int = 600, out_dir: str = "logs/validate_synthetic"):
     cfg = load_config("configs/synthetic.py")
     cfg = cfg.replace(steps=steps, ckpt_dir=out_dir, log_every=50,
                       image_log_every=0)
+    if overrides:
+        from partseg_tpu.train.config import apply_overrides
+
+        cfg = apply_overrides(cfg, overrides)
 
     state = train(cfg, restore=False)
     model = PartNet(cfg.model)
@@ -87,5 +92,7 @@ def main(steps: int = 600, out_dir: str = "logs/validate_synthetic"):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--out_dir", default="logs/validate_synthetic")
+    ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL")
     a = ap.parse_args()
-    raise SystemExit(main(a.steps))
+    raise SystemExit(main(a.steps, a.out_dir, getattr(a, "set")))
