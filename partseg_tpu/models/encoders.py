@@ -32,6 +32,8 @@ class _Stem(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        # 6-D reshape/transpose space-to-depth. (A strided-slice+concat
+        # variant measured SLOWER full-step: 789 vs 815 img/s/chip.)
         b, h, w, c = x.shape
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)

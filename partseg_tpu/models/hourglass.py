@@ -31,6 +31,9 @@ class Hourglass(nn.Module):
 
         def level(x: jax.Array, d: int) -> jax.Array:
             up = ResBlock(f, dtype=dt)(x)
+            # nn.avg_pool beats a reshape-mean here (measured 815 vs 789
+            # img/s/chip full-step — trace attribution of reduce_window
+            # cost was misleading; XLA fuses it well in-graph).
             low = nn.avg_pool(x, (2, 2), strides=(2, 2))
             low = ResBlock(f, dtype=dt)(low)
             low = level(low, d - 1) if d > 1 else ResBlock(f, dtype=dt)(low)
