@@ -25,11 +25,16 @@ def main(argv=None):
     ap.add_argument("--coordinator", default=None, help="multi-host DCN address")
     ap.add_argument("--debug_nans", action="store_true",
                     help="enable jax nan-debugging (SURVEY.md §5.2)")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) — env vars are "
+                         "overridden by the environment's sitecustomize")
     args = ap.parse_args(argv)
 
-    if args.debug_nans:
-        import jax
+    import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
     init_distributed(args.coordinator)

@@ -51,13 +51,24 @@ def make_train_step(
         images = batch["image"]
         if "aug_id" in batch:
             key = jax.vmap(lambda i: jax.random.fold_in(key, i))(batch["aug_id"])
-        pair = make_pair(images, key, sampler, cfg.augment)
-        out = model.apply(params, pair["x_s"], pair["x_a"])
-        l_rec = perceptual(out.recon, images)
-        l_eq, eq_metrics = equivariance_loss(
-            sampler, pair["tps"], out.mu_s, out.sigma_s, out.mu_a, out.sigma_a,
-            sigma_weight=lw.equiv_sigma_weight,
-        )
+        with jax.named_scope("augment"):
+            # Augmentation is input data: stop_gradient guarantees the
+            # whole subgraph stays primal-only (otherwise the warp's
+            # custom-vjp forward variant — which computes extra tap
+            # differences for a backward that is never needed — can be
+            # selected under jax.grad).
+            pair = jax.lax.stop_gradient(
+                make_pair(images, key, sampler, cfg.augment)
+            )
+        with jax.named_scope("model"):
+            out = model.apply(params, pair["x_s"], pair["x_a"])
+        with jax.named_scope("loss_rec"):
+            l_rec = perceptual(out.recon, images)
+        with jax.named_scope("loss_equiv"):
+            l_eq, eq_metrics = equivariance_loss(
+                sampler, pair["tps"], out.mu_s, out.sigma_s, out.mu_a, out.sigma_a,
+                sigma_weight=lw.equiv_sigma_weight,
+            )
         loss = lw.rec_weight * l_rec + lw.equiv_weight * l_eq
         metrics = {"rec": l_rec, "equiv": l_eq, **eq_metrics}
         if lw.swap_weight:
