@@ -69,3 +69,28 @@ def make_loader(
 def _stack(examples: list[dict]) -> dict:
     keys = examples[0].keys()
     return {k: np.stack([e[k] for e in examples]) for k in keys}
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Run `iterator` in a daemon thread with a bounded queue so host
+    batch assembly overlaps the device step (the torch-DataLoader
+    pipelining role)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

@@ -24,6 +24,7 @@ class SyntheticBlobs:
     n_blobs: int = 5
     n_examples: int = 10_000
     seed: int = 0
+    with_masks: bool = False   # also emit part-label maps (seg-IoU eval)
 
     def __post_init__(self):
         # The constellation/colors/radii define the object CLASS and are
@@ -62,16 +63,24 @@ class SyntheticBlobs:
         img = img * hue
 
         color_jitter = rng.uniform(0.7, 1.3, size=(1, 3))
+        blobs = np.zeros((self.n_blobs, s, s), np.float32)
         for i in range(self.n_blobs):
             d2 = (yy - centers[i, 0]) ** 2 + (xx - centers[i, 1]) ** 2
-            blob = np.exp(-d2 / (2 * (self._radii[i] * scale) ** 2))
+            blobs[i] = np.exp(-d2 / (2 * (self._radii[i] * scale) ** 2))
             col = np.clip(self._colors[i] * color_jitter[0], 0, 1)
-            img = img * (1 - blob[..., None]) + blob[..., None] * col
+            img = img * (1 - blobs[i][..., None]) + blobs[i][..., None] * col
 
-        return {
+        out = {
             "image": np.clip(img, 0.0, 1.0).astype(np.float32),
             "landmarks": centers.astype(np.float32),            # (y, x) in [-1,1]
         }
+        if self.with_masks:
+            # Ground-truth part segmentation: strongest blob where any
+            # blob dominates the background (label 0 = background).
+            strength = blobs.max(axis=0)
+            label = blobs.argmax(axis=0) + 1
+            out["mask"] = np.where(strength > 0.5, label, 0).astype(np.int32)
+        return out
 
 
 def _upsample_bilinear(img: np.ndarray, size: int) -> np.ndarray:

@@ -49,6 +49,50 @@ def segmentation_iou(
     return ious
 
 
+def evaluate_segmentation(
+    model,
+    params,
+    data_iter,
+    n_classes: int,
+    max_batches: int | None = None,
+) -> dict[str, float]:
+    """Full GCPR'20-style protocol over a split with "mask" labels:
+    batched device forwards → per-pixel argmax part labels (bg = 0) →
+    majority-vote part→class matching on the whole split → IoU metrics.
+    Ground-truth masks are max-pool-downsampled to the model's seg
+    resolution (S/2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from partseg_tpu.models.partnet import PartNet
+
+    @jax.jit
+    def forward(p, x):
+        logits = model.apply(p, x, method=PartNet.encode_shape)
+        seg_soft = model.apply(p, logits, method=PartNet.segmentation)
+        seg = jnp.argmax(seg_soft, axis=-1)
+        if model.cfg.background:
+            k = model.cfg.n_parts
+            seg = jnp.where(seg == k, 0, seg + 1)
+        return seg
+
+    preds, gts = [], []
+    for i, batch in enumerate(data_iter):
+        if max_batches is not None and i >= max_batches:
+            break
+        seg = np.asarray(forward(params, batch["image"]))
+        gt = np.asarray(batch["mask"])
+        if gt.shape[1] != seg.shape[1]:                 # downsample labels 2x
+            f = gt.shape[1] // seg.shape[1]
+            gt = gt[:, f // 2 :: f, f // 2 :: f]
+        preds.append(seg)
+        gts.append(gt)
+    pred = np.concatenate(preds)
+    gt = np.concatenate(gts)
+    mapping = match_parts_to_classes(pred, gt, model.cfg.n_parts, n_classes)
+    return segmentation_iou(mapping[pred], gt, n_classes)
+
+
 def match_parts_to_classes(
     pred_parts: np.ndarray, gt: np.ndarray, n_parts: int, n_classes: int
 ) -> np.ndarray:

@@ -45,6 +45,12 @@ class PartNetConfig:
     decoder_features: Any = (256, 128, 64, 32)  # channel pyramid coarse→fine
     render_kernel: str = "gauss"     # "gauss" | "heavy_tail" (§7.4 risk 1 knob)
     spatial_norm: str = "softmax"    # "softmax" | "divide" (§7.4 risk 1 knob)
+    # Appearance-pooling masks: "pixel" = per-pixel part softmax
+    # (parts + background compete per pixel; reconstruction then TRAINS
+    # the dense segmentation — the GCPR'20 behavior); "spatial" = the
+    # per-part spatial distributions (pure Lorenz'19 landmarks; the
+    # segmentation head stays untrained).
+    pool_masks: str = "pixel"
     use_pallas: bool = True          # fused kernels (interpret mode off-TPU)
     remat: bool = False              # rematerialize hourglasses (memory↓, FLOPs↑)
     dtype: Any = jnp.bfloat16
@@ -138,7 +144,14 @@ class PartNet(nn.Module):
         parts_s, mu_s, sigma_s = self.shape_stats(logits_s)
 
         feats_s = self.app_enc(x_s)
-        appearance = pool_appearance(feats_s, parts_s)      # [B, K, C] f32
+        if self.cfg.pool_masks == "pixel":
+            # Per-pixel competition (K parts + bg): reconstruction must
+            # route appearance through these masks, training the dense
+            # segmentation path end-to-end.
+            masks_s = self.segmentation(logits_s)[..., : self.cfg.n_parts]
+        else:
+            masks_s = parts_s
+        appearance = pool_appearance(feats_s, masks_s)      # [B, K, C] f32
 
         recon = self.decoder(mu_a, sigma_a, appearance)
         return PartNetOutputs(

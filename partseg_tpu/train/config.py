@@ -33,6 +33,14 @@ class LossConfig:
     # stay put (shape invariant under appearance transfer). Costs an
     # extra decoder+encoder pass; 0 disables.
     swap_weight: float = 0.0
+    # Dense-segmentation consistency (GCPR'20 capability): cross-entropy
+    # between the per-pixel part softmax and the stop-grad occupancy of
+    # the rendered Gaussians (parts where a blob dominates, background
+    # where none does). Ties the segmentation head to the learned
+    # geometry; without it the bg channel is untrained and argmax
+    # collapses to background. (Synthetic ablation: 0 → fg-IoU 0.0;
+    # 0.1/max-bg → 0.18; 0.3/sum-bg → 0.29.)
+    seg_weight: float = 0.3
 
 
 @dataclasses.dataclass(frozen=True)

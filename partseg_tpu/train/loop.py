@@ -111,10 +111,14 @@ def train(
     viz_fn = jax.jit(lambda p, a: model.apply(p, a, a))  # compiled once
 
     if data_iter is None:
+        from partseg_tpu.data.loader import prefetch
+
         dataset = build_dataset(cfg.dataset, split="train", **dict(cfg.dataset_kwargs))
-        data_iter = make_loader(
-            dataset, per_host_batch, seed=cfg.seed, num_workers=4,
-            backend=cfg.loader_backend,
+        data_iter = prefetch(
+            make_loader(
+                dataset, per_host_batch, seed=cfg.seed, num_workers=4,
+                backend=cfg.loader_backend,
+            )
         )
 
     logger = MetricLogger(cfg.ckpt_dir)

@@ -71,6 +71,11 @@ def make_train_step(
             )
         loss = lw.rec_weight * l_rec + lw.equiv_weight * l_eq
         metrics = {"rec": l_rec, "equiv": l_eq, **eq_metrics}
+        if lw.seg_weight and cfg.model.background:
+            with jax.named_scope("loss_seg"):
+                l_seg = _seg_consistency(cfg, out)
+            loss = loss + lw.seg_weight * l_seg
+            metrics["seg"] = l_seg
         if lw.swap_weight:
             # Appearance-swap consistency [B:8,10]: shape must survive
             # appearance transfer (SURVEY.md §3.4 stack, in-batch roll).
@@ -107,3 +112,26 @@ def make_train_step(
         return new_state, metrics
 
     return train_step
+
+
+def _seg_consistency(cfg: TrainConfig, out) -> jax.Array:
+    """Cross-entropy between the per-pixel part softmax (K+bg) and the
+    stop-grad occupancy of the rendered Gaussians: a pixel belongs to
+    part k with weight φ_k(u), to background with weight (1 − max_k φ_k).
+    Trains the dense-segmentation head off the learned geometry."""
+    from partseg_tpu.partops.moments import precision_from_cov
+    from partseg_tpu.partops.render import render_gaussians
+
+    logits = out.logits_a                              # [B, h, w, K+1]
+    b, h, w, _ = logits.shape
+    lam = precision_from_cov(out.sigma_a)
+    phi = render_gaussians(out.mu_a, out.sigma_a, h, w, precision=lam)
+    # 1 − Σφ (not 1 − max φ): boundary pixels where a part renders at
+    # moderate strength should belong to the part, not background.
+    bg = jnp.clip(1.0 - jnp.sum(phi, axis=-1, keepdims=True), 0.0, 1.0)
+    target = jnp.concatenate([phi, bg], axis=-1)
+    target = jax.lax.stop_gradient(
+        target / (jnp.sum(target, axis=-1, keepdims=True) + 1e-8)
+    )
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.sum(target * logp, axis=-1))

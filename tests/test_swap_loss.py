@@ -24,6 +24,10 @@ def test_swap_loss_present_and_finite():
     assert "swap" in metrics
     assert np.isfinite(float(metrics["swap"]))
     assert np.isfinite(float(metrics["loss"]))
-    # Loss includes the swap term.
-    base = 1.0 * float(metrics["rec"]) + 1.0 * float(metrics["equiv"])
+    # Loss includes the swap term (plus the default seg-consistency term).
+    base = (
+        1.0 * float(metrics["rec"])
+        + 1.0 * float(metrics["equiv"])
+        + cfg.loss.seg_weight * float(metrics.get("seg", 0.0))
+    )
     assert abs(float(metrics["loss"]) - base - 0.5 * float(metrics["swap"])) < 1e-4

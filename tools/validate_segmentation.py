@@ -1,0 +1,60 @@
+"""Segmentation-IoU validation on synthetic blobs (GCPR'20 eval path
+end-to-end): uses the checkpoint from tools/validate_synthetic.py and
+measures part-matched mIoU / foreground IoU vs ground-truth blob masks.
+
+Run after validate_synthetic:
+    python tools/validate_segmentation.py [--ckpt_dir logs/val_long]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(ckpt_dir: str):
+    import jax
+
+    from partseg_tpu.data.loader import make_loader
+    from partseg_tpu.data.synthetic import SyntheticBlobs
+    from partseg_tpu.evals.infer import load_model_and_params
+    from partseg_tpu.evals.segmentation import evaluate_segmentation
+    from partseg_tpu.models.partnet import PartNet
+    from partseg_tpu.train.config import load_config
+    from partseg_tpu.train.state import create_state
+
+    cfg = load_config("configs/synthetic.py").replace(ckpt_dir=ckpt_dir)
+    model, params = load_model_and_params(cfg, ckpt_dir)
+    kwargs = dict(cfg.dataset_kwargs)
+
+    def run(p):
+        ds = SyntheticBlobs(seed=2, n_examples=512, with_masks=True, **kwargs)
+        it = make_loader(ds, 64, shuffle=False, num_epochs=1)
+        return evaluate_segmentation(
+            model, p, it, n_classes=ds.n_blobs + 1, max_batches=8
+        )
+
+    trained = run(params)
+    rand = run(create_state(cfg, PartNet(cfg.model), jax.random.key(99)).params)
+    result = {
+        "miou_trained": round(trained["miou"], 4),
+        "fg_iou_trained": round(trained["fg_iou"], 4),
+        "miou_random": round(rand["miou"], 4),
+        "fg_iou_random": round(rand["fg_iou"], 4),
+    }
+    print(json.dumps(result))
+    # Round-1 bar (2000-step synthetic run reaches mIoU 0.385 / fg 0.29
+    # vs random 0.157 / 0.0); tighten toward fg>0.5 once the seg loss is
+    # tuned on real data in later rounds.
+    ok = trained["miou"] > 2 * rand["miou"] and trained["fg_iou"] > 0.25
+    print("SEG VALIDATION", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt_dir", default="logs/val_long")
+    a = ap.parse_args()
+    raise SystemExit(main(a.ckpt_dir))
