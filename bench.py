@@ -16,6 +16,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from partseg_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from partseg_tpu.augment.pair import AugmentConfig
 from partseg_tpu.dist.mesh import batch_sharding, make_mesh, replicated_sharding
 from partseg_tpu.models.partnet import PartNet, PartNetConfig

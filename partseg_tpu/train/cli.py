@@ -37,6 +37,10 @@ def main(argv=None):
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
+    from partseg_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     init_distributed(args.coordinator)
     cfg = load_config(args.config)
     cfg = apply_overrides(cfg, args.set)
