@@ -13,6 +13,7 @@ inversion at bf16 is numerically unsafe (SURVEY.md §7.4 risk 5).
 
 from __future__ import annotations
 
+import chex
 import jax
 import jax.numpy as jnp
 
@@ -30,6 +31,7 @@ def soft_argmax_moments(p: jax.Array) -> tuple[jax.Array, jax.Array]:
       mu:    [B, K, 2] f32, (y, x) in [-1, 1].
       sigma: [B, K, 2, 2] f32 SPD covariance.
     """
+    chex.assert_rank(p, 4)
     b, h, w, k = p.shape
     basis = moment_basis(h, w)                                 # [HW, 5]
     pf = p.astype(jnp.float32).reshape(b, h * w, k)

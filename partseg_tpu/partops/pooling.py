@@ -12,6 +12,7 @@ batched [B,K,HW] @ [B,HW,C] contraction (MXU).
 
 from __future__ import annotations
 
+import chex
 import jax
 import jax.numpy as jnp
 
@@ -27,6 +28,8 @@ def pool_appearance(feats: jax.Array, parts: jax.Array, eps: float = 1e-8) -> ja
     Returns:
       [B, K, C] appearance vectors, f32.
     """
+    chex.assert_rank((feats, parts), 4)
+    chex.assert_equal_shape_prefix((feats, parts), 3)  # same B, H, W
     b, h, w, c = feats.shape
     k = parts.shape[-1]
     f = feats.astype(jnp.float32).reshape(b, h * w, c)

@@ -1,0 +1,63 @@
+"""Coverage for the less-traveled config knobs: heavy-tail rendering,
+warped appearance view, spatial pooling, no-background models, and
+chex shape validation."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from partseg_tpu.augment import AugmentConfig, make_pair
+from partseg_tpu.models.partnet import PartNet, PartNetConfig
+
+BASE = PartNetConfig(n_parts=3, img_size=16, features=16, depth=1,
+                     app_features=8, decoder_scales=2, use_pallas=False)
+
+
+def _forward(cfg, key=0):
+    model = PartNet(cfg)
+    x = jax.random.uniform(jax.random.key(key), (2, 16, 16, 3))
+    params = model.init(jax.random.key(0), x, x)
+    return model.apply(params, x, x)
+
+
+def test_heavy_tail_render_config():
+    out = _forward(dataclasses.replace(BASE, render_kernel="heavy_tail"))
+    assert np.isfinite(np.asarray(out.recon, np.float32)).all()
+
+
+def test_no_background_config():
+    cfg = dataclasses.replace(BASE, background=False)
+    out = _forward(cfg)
+    assert out.logits_a.shape[-1] == cfg.n_parts           # no bg channel
+    assert out.seg_a.shape[-1] == cfg.n_parts
+
+
+def test_spatial_pooling_config():
+    out = _forward(dataclasses.replace(BASE, pool_masks="spatial"))
+    assert np.isfinite(np.asarray(out.appearance)).all()
+
+
+def test_warp_appearance_view():
+    cfg = AugmentConfig(tps_grid=3, warp_appearance_view=True)
+    sampler = cfg.make_sampler()
+    x = jax.random.uniform(jax.random.key(1), (2, 16, 16, 3))
+    pair = make_pair(x, jax.random.key(2), sampler, cfg)
+    # The appearance view must now be geometrically changed too.
+    assert np.abs(np.asarray(pair["x_a"]) - np.asarray(x)).max() > 1e-3
+
+    # Per-sample key path as well.
+    keys = jax.random.split(jax.random.key(3), 2)
+    pair2 = make_pair(x, keys, sampler, cfg)
+    assert pair2["x_a"].shape == x.shape
+
+
+def test_chex_rank_validation():
+    from partseg_tpu.partops import pool_appearance, soft_argmax_moments
+
+    with pytest.raises(AssertionError):
+        soft_argmax_moments(jnp.zeros((4, 4, 2)))          # rank 3, not 4
+    with pytest.raises(AssertionError):
+        pool_appearance(jnp.zeros((1, 4, 4, 8)), jnp.zeros((1, 8, 8, 2)))
