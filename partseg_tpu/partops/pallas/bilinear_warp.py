@@ -104,7 +104,7 @@ def _run_kernel(
     hcw = jnp.transpose(image, (0, 1, 3, 2)).reshape(b, h, c * w)
 
     n = coords.shape[1]
-    tile = min(1024, _round_up(n, 128))
+    tile = min(2048, _round_up(n, 128))
     pad_n = _round_up(n, tile)
     if pad_n != n:
         coords = jnp.pad(coords, ((0, 0), (0, pad_n - n), (0, 0)))
