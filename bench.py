@@ -32,7 +32,7 @@ BASELINE_IMG_S_CHIP = 8000.0
 
 
 def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
-         config: str | None = None):
+         config: str | None = None, overrides: list | None = None):
     # batch 128/chip measured fastest (64: 595, 128: 815, 256: 781
     # img/s/chip — HBM pressure beyond 128).
     mesh = make_mesh()
@@ -51,6 +51,10 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
             optim=OptimConfig(),
             global_batch=batch_per_chip * n_chips,
         )
+    if overrides:
+        from partseg_tpu.train.config import apply_overrides
+
+        cfg = apply_overrides(cfg, overrides)
     model = PartNet(cfg.model)
     state = create_state(cfg, model, jax.random.key(0))
     state = jax.device_put(state, replicated_sharding(mesh))
@@ -62,8 +66,9 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
             batch_sharding(mesh),
         )
     }
+    perceptual = build_perceptual(cfg)
     step_fn = jax.jit(
-        make_train_step(cfg, model, cfg.augment.make_sampler(), build_perceptual(cfg)),
+        make_train_step(cfg, model, cfg.augment.make_sampler(), perceptual),
         donate_argnums=0,
     )
     key = jax.random.key(2)
@@ -86,6 +91,7 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
                 "value": round(img_s_chip, 1),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_s_chip / BASELINE_IMG_S_CHIP, 3),
+                "vgg_mode": perceptual.vgg_mode,
             }
         )
     )
@@ -99,5 +105,8 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--config", default=None,
                     help="bench an alternative 128px training config")
+    ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL",
+                    help="dot-path config overrides (perf A/B probes)")
     a = ap.parse_args()
-    main(batch_per_chip=a.batch, steps=a.steps, config=a.config)
+    main(batch_per_chip=a.batch, steps=a.steps, config=a.config,
+         overrides=getattr(a, "set"))

@@ -131,9 +131,12 @@ bool decode_png(const uint8_t* data, size_t len, Image* out) {
 // ------------------------------------------------------- crop/resize pipeline
 
 // Square crop around (cx, cy) with side `side` (clamped in-image), then
-// bilinear resize to out_size², writing f32 RGB in [0, 1].
+// bilinear resize to out_size², writing uint8 RGB. Results stay uint8
+// end-to-end so training can ship 4×-smaller batches host→device and
+// normalize on-chip (VERDICT r1: "uint8 host→device + on-device
+// normalize"); psn_get converts to f32 [0,1] for legacy callers.
 void crop_resize(const Image& img, float cx, float cy, float side,
-                 int out_size, float* out) {
+                 int out_size, uint8_t* out) {
   int w = img.w, h = img.h;
   if (side <= 0.f) {  // center crop
     side = float(w < h ? w : h);
@@ -168,11 +171,12 @@ void crop_resize(const Image& img, float cx, float cy, float side,
       const uint8_t* p01 = src + (size_t(iy0) * w + ix1) * 3;
       const uint8_t* p10 = src + (size_t(iy1) * w + ix0) * 3;
       const uint8_t* p11 = src + (size_t(iy1) * w + ix1) * 3;
-      float* dst = out + (size_t(oy) * out_size + ox) * 3;
+      uint8_t* dst = out + (size_t(oy) * out_size + ox) * 3;
       for (int c = 0; c < 3; ++c) {
         float top = p00[c] + (p01[c] - p00[c]) * wx;
         float bot = p10[c] + (p11[c] - p10[c]) * wx;
-        dst[c] = (top + (bot - top) * wy) * (1.0f / 255.0f);
+        float v = top + (bot - top) * wy;
+        dst[c] = uint8_t(v + 0.5f);
       }
     }
   }
@@ -188,7 +192,7 @@ struct Job {
 
 struct Result {
   int64_t idx;
-  std::vector<float> pixels;  // out_size*out_size*3, empty on failure
+  std::vector<uint8_t> pixels;  // out_size*out_size*3, empty on failure
   int ok;
 };
 
@@ -273,25 +277,45 @@ void psn_submit(void* h, int64_t idx, const char* path, float cx, float cy,
   p->cv_job.notify_one();
 }
 
-// Blocking pop. Returns 1 on success (idx_out + out filled), 0 on
-// decode failure (idx_out still set), -1 if the pool is shutting down.
+namespace {
+int pop_result(Pool* p, Result* res) {
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv_res.wait(lk, [&] { return p->stop.load() || !p->results.empty(); });
+  if (p->results.empty()) return -1;
+  *res = std::move(p->results.front());
+  p->results.pop_front();
+  lk.unlock();
+  p->cv_cap.notify_one();
+  return res->ok;
+}
+}  // namespace
+
+// Blocking pop, f32 [0,1] output. Returns 1 on success (idx_out + out
+// filled), 0 on decode failure (idx_out still set), -1 if the pool is
+// shutting down.
 int psn_get(void* h, int64_t* idx_out, float* out) {
   auto* p = static_cast<Pool*>(h);
   Result res;
-  {
-    std::unique_lock<std::mutex> lk(p->mu);
-    p->cv_res.wait(lk, [&] { return p->stop.load() || !p->results.empty(); });
-    if (p->results.empty()) return -1;
-    res = std::move(p->results.front());
-    p->results.pop_front();
-  }
-  p->cv_cap.notify_one();
+  int rc = pop_result(p, &res);
+  if (rc < 0) return -1;
   *idx_out = res.idx;
-  if (res.ok) {
-    memcpy(out, res.pixels.data(), res.pixels.size() * sizeof(float));
-    return 1;
+  if (rc == 1) {
+    const float k = 1.0f / 255.0f;
+    for (size_t i = 0; i < res.pixels.size(); ++i) out[i] = res.pixels[i] * k;
   }
-  return 0;
+  return rc;
+}
+
+// Blocking pop, raw uint8 output (the training fast path: 4× smaller
+// host→device transfer, normalization runs on-device in the jit step).
+int psn_get_u8(void* h, int64_t* idx_out, uint8_t* out) {
+  auto* p = static_cast<Pool*>(h);
+  Result res;
+  int rc = pop_result(p, &res);
+  if (rc < 0) return -1;
+  *idx_out = res.idx;
+  if (rc == 1) memcpy(out, res.pixels.data(), res.pixels.size());
+  return rc;
 }
 
 int psn_pending(void* h) {

@@ -35,7 +35,11 @@ def _load_lib() -> ctypes.CDLL:
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        if not _SO.exists():
+        src = _ROOT / "loader.cc"
+        stale = _SO.exists() and src.exists() and (
+            src.stat().st_mtime > _SO.stat().st_mtime
+        )
+        if not _SO.exists() or stale:
             subprocess.run(["sh", str(_ROOT / "build.sh")], check=True,
                            capture_output=True)
         lib = ctypes.CDLL(str(_SO))
@@ -49,6 +53,11 @@ def _load_lib() -> ctypes.CDLL:
         lib.psn_get.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.psn_get_u8.restype = ctypes.c_int
+        lib.psn_get_u8.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.psn_pending.restype = ctypes.c_int
         lib.psn_pending.argtypes = [ctypes.c_void_p]
@@ -77,30 +86,40 @@ class NativePool:
             self._h, idx, str(path).encode(), cx, cy, side
         )
 
-    def get(self) -> tuple[int, np.ndarray | None]:
-        """Blocking: returns (idx, [S,S,3] f32 image) or (idx, None) on
-        decode failure."""
-        buf = np.empty((self.out_size, self.out_size, 3), np.float32)
+    def get(self, dtype: str = "f32") -> tuple[int, np.ndarray | None]:
+        """Blocking: returns (idx, [S,S,3] image) or (idx, None) on
+        decode failure. dtype "f32" → [0,1] floats; "u8" → raw uint8
+        (the 4×-smaller host→device training path)."""
         idx = ctypes.c_int64()
-        rc = self._lib.psn_get(
-            self._h, ctypes.byref(idx),
-            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        )
+        if dtype == "u8":
+            buf = np.empty((self.out_size, self.out_size, 3), np.uint8)
+            rc = self._lib.psn_get_u8(
+                self._h, ctypes.byref(idx),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+        else:
+            buf = np.empty((self.out_size, self.out_size, 3), np.float32)
+            rc = self._lib.psn_get(
+                self._h, ctypes.byref(idx),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
         if rc < 0:
             raise RuntimeError("native pool shut down")
         return int(idx.value), (buf if rc == 1 else None)
 
     def load_batch(
-        self, paths: Sequence, bboxes: Sequence | None = None
+        self, paths: Sequence, bboxes: Sequence | None = None,
+        dtype: str = "f32",
     ) -> np.ndarray:
         """Decode a batch in parallel, order-preserving; failed decodes
         come back as zeros."""
         n = len(paths)
         for i, p in enumerate(paths):
             self.submit(i, p, bboxes[i] if bboxes is not None else None)
-        out = np.zeros((n, self.out_size, self.out_size, 3), np.float32)
+        np_dtype = np.uint8 if dtype == "u8" else np.float32
+        out = np.zeros((n, self.out_size, self.out_size, 3), np_dtype)
         for _ in range(n):
-            idx, img = self.get()
+            idx, img = self.get(dtype)
             if img is not None:
                 out[idx] = img
         return out
@@ -132,23 +151,46 @@ def native_loader(
     num_threads: int = 8,
     process_index: int = 0,
     process_count: int = 1,
+    start_batch: int = 0,
+    out_dtype: str = "u8",
 ) -> Iterator[dict]:
     """Infinite batched iterator over an ImageListDataset using the
     native pool (images only; landmark-annotated eval splits should use
-    the Grain path)."""
+    the Grain path). `start_batch` seeks without decoding: full skipped
+    epochs burn one rng permutation each, the partial epoch skips
+    in-index — the resumed sequence exactly matches an uninterrupted
+    run (SURVEY.md §5.4).
+
+    out_dtype defaults to "u8": the train step normalizes uint8 batches
+    on-device, so the host→device transfer is 4× smaller than f32."""
     paths = list(dataset.paths)
     bboxes = list(dataset.bboxes) if getattr(dataset, "bboxes", None) else None
     idxs = np.arange(len(paths))[process_index::process_count]
+    n_per_epoch = len(idxs) // batch_size
+    if n_per_epoch == 0:
+        raise ValueError(
+            f"batch_size {batch_size} exceeds shard size {len(idxs)}"
+        )
     rng = np.random.default_rng(seed)
     pool = NativePool(dataset.size, n_threads=num_threads,
                       capacity=2 * batch_size)
+    skip = start_batch
     while True:
         order = rng.permutation(idxs) if shuffle else idxs
-        for start in range(0, len(order) - batch_size + 1, batch_size):
+        if skip >= n_per_epoch:
+            skip -= n_per_epoch
+            continue
+        for bi, start in enumerate(
+            range(0, len(order) - batch_size + 1, batch_size)
+        ):
+            if bi < skip:
+                continue
             sel = order[start : start + batch_size]
             yield {
                 "image": pool.load_batch(
                     [paths[i] for i in sel],
                     [bboxes[i] for i in sel] if bboxes else None,
+                    dtype=out_dtype,
                 )
             }
+        skip = 0

@@ -47,3 +47,14 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
     """Device_put a host batch pytree with the leading dim sharded."""
     sh = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def create_replicated(fn: Any, mesh: Mesh) -> Any:
+    """Compute `fn()` under jit with the outputs replicated over `mesh`.
+
+    The multihost-safe way to build TrainStates / PRNG keys: device_put
+    of host data cannot target non-addressable devices, but a nullary
+    jit computation runs SPMD on every host and yields proper global
+    arrays (works for typed PRNG keys too). Single-process it is just a
+    jitted init."""
+    return jax.jit(fn, out_shardings=replicated_sharding(mesh))()

@@ -33,13 +33,16 @@ def main(argv=None):
     model, params = load_model_and_params(cfg, args.ckpt_dir)
 
     kwargs = dict(cfg.dataset_kwargs)
+    # drop_remainder=False: the eval protocol must see the WHOLE split
+    # (MAFL-test is 1,000 images; dropping the tail 40 at batch 64 is a
+    # protocol deviation). collect_mu pads+trims the remainder batch.
     train_it = make_loader(
         build_dataset(name, split="train", **kwargs),
-        args.batch, shuffle=False, num_epochs=1,
+        args.batch, shuffle=False, num_epochs=1, drop_remainder=False,
     )
     test_it = make_loader(
         build_dataset(name, split="test", **kwargs),
-        args.batch, shuffle=False, num_epochs=1,
+        args.batch, shuffle=False, num_epochs=1, drop_remainder=False,
     )
     if args.dump:
         import numpy as np
@@ -51,7 +54,7 @@ def main(argv=None):
         print(f"[eval] dumped {len(mu_te)} examples to {args.dump}")
         test_it = make_loader(
             build_dataset(name, split="test", **kwargs),
-            args.batch, shuffle=False, num_epochs=1,
+            args.batch, shuffle=False, num_epochs=1, drop_remainder=False,
         )
 
     metrics = evaluate_landmarks(

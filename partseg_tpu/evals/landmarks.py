@@ -20,13 +20,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def pad_batch(x: np.ndarray, pad_to: int) -> np.ndarray:
+    """Pad a short remainder batch to `pad_to` rows by repeating the last
+    example, so the jitted forward never recompiles for the tail batch.
+    Callers slice the outputs back to the true length."""
+    n = x.shape[0]
+    if n >= pad_to:
+        return x
+    return np.concatenate([x, np.repeat(x[-1:], pad_to - n, axis=0)])
+
+
 def collect_mu(
     model: Any,
     params: Any,
     data_iter: Iterator[dict],
     max_batches: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Run the shape stream over a split; returns (mu [N, K, 2], gt [N, L, 2])."""
+    """Run the shape stream over a split; returns (mu [N, K, 2], gt [N, L, 2]).
+
+    Remainder batches (from drop_remainder=False loaders) are padded to
+    the first-seen batch size and trimmed after the forward, so the full
+    split is evaluated — [B:2] protocol exactness — without recompiles.
+    """
     from partseg_tpu.models.partnet import PartNet
 
     @jax.jit
@@ -36,10 +51,15 @@ def collect_mu(
         return mu
 
     mus, gts = [], []
+    pad_to = None
     for i, batch in enumerate(data_iter):
         if max_batches is not None and i >= max_batches:
             break
-        mus.append(np.asarray(forward(params, jnp.asarray(batch["image"]))))
+        img = np.asarray(batch["image"])
+        n = img.shape[0]
+        pad_to = pad_to or n
+        mu = np.asarray(forward(params, jnp.asarray(pad_batch(img, pad_to))))
+        mus.append(mu[:n])
         gts.append(np.asarray(batch["landmarks"]))
     return np.concatenate(mus), np.concatenate(gts)
 

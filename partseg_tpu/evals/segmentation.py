@@ -59,11 +59,15 @@ def evaluate_segmentation(
     """Full GCPR'20-style protocol over a split with "mask" labels:
     batched device forwards → per-pixel argmax part labels (bg = 0) →
     majority-vote part→class matching on the whole split → IoU metrics.
-    Ground-truth masks are max-pool-downsampled to the model's seg
-    resolution (S/2)."""
+    Predicted label maps are nearest-neighbor UPSAMPLED to the
+    ground-truth resolution (IoU is computed at full label res, per the
+    GCPR protocol — no label downsampling, so thin structures are not
+    aliased away). Remainder batches are padded + trimmed so the whole
+    split is scored ([B:2] protocol exactness)."""
     import jax
     import jax.numpy as jnp
 
+    from partseg_tpu.evals.landmarks import pad_batch
     from partseg_tpu.models.partnet import PartNet
 
     @jax.jit
@@ -77,14 +81,19 @@ def evaluate_segmentation(
         return seg
 
     preds, gts = [], []
+    pad_to = None
     for i, batch in enumerate(data_iter):
         if max_batches is not None and i >= max_batches:
             break
-        seg = np.asarray(forward(params, batch["image"]))
+        img = np.asarray(batch["image"])
+        n = img.shape[0]
+        pad_to = pad_to or n
+        seg = np.asarray(forward(params, pad_batch(img, pad_to)))[:n]
         gt = np.asarray(batch["mask"])
-        if gt.shape[1] != seg.shape[1]:                 # downsample labels 2x
+        if gt.shape[1] != seg.shape[1]:     # upsample predictions to label res
             f = gt.shape[1] // seg.shape[1]
-            gt = gt[:, f // 2 :: f, f // 2 :: f]
+            assert seg.shape[1] * f == gt.shape[1], (seg.shape, gt.shape)
+            seg = seg.repeat(f, axis=1).repeat(f, axis=2)
         preds.append(seg)
         gts.append(gt)
     pred = np.concatenate(preds)

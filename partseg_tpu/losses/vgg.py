@@ -81,16 +81,33 @@ def random_vgg19_params(model: VGG19Features, img_size: int, seed: int = 1742) -
     return model.init(jax.random.key(seed), x)
 
 
-def load_vgg19_npz(model: VGG19Features, path: str | None, img_size: int) -> Any:
+def load_vgg19_npz(
+    model: VGG19Features, path: str | None, img_size: int
+) -> tuple[Any, str]:
     """Load pretrained weights from npz; fall back to random init.
 
-    Looks at `path`, then $VGG19_NPZ, then ./vgg19.npz.
+    Looks at `path`, then $VGG19_NPZ, then ./vgg19.npz. Returns
+    (params, mode) where mode is "pretrained:<path>" or "random" — the
+    caller must surface the mode (a run trained against random VGG
+    features is NOT accuracy-comparable to the reference; VERDICT r1
+    "silent VGG fallback").
     """
     candidates = [path, os.environ.get("VGG19_NPZ"), "vgg19.npz"]
     npz_path = next((p for p in candidates if p and os.path.exists(p)), None)
     params = random_vgg19_params(model, img_size)
     if npz_path is None:
-        return params
+        import warnings
+
+        warnings.warn(
+            "VGG19 pretrained weights NOT found (looked at --set "
+            "loss.vgg_npz, $VGG19_NPZ, ./vgg19.npz) — using the "
+            "DETERMINISTIC RANDOM-INIT fallback. Perceptual quality will "
+            "be below the reference; accuracy claims vs the paper are "
+            "invalid in this mode. Export weights with "
+            "tools/export_vgg19.py.",
+            stacklevel=2,
+        )
+        return params, "random"
     data = np.load(npz_path)
     flat = dict(params["params"])
 
@@ -108,4 +125,4 @@ def load_vgg19_npz(model: VGG19Features, path: str | None, img_size: int) -> Any
                 out[name] = leaf
         return out
 
-    return {"params": fill(flat)}
+    return {"params": fill(flat)}, f"pretrained:{npz_path}"

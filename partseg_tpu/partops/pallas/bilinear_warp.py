@@ -61,17 +61,31 @@ def _kernel(img_ref, crd_ref, out_ref, *, h, w, c, tile, with_grads):
     # img_ref holds [1, H, C*W] (channel-major rows): ONE [T,H]@[H,C*W]
     # matmul y-interpolates all channels at once; the x-taps reduce per
     # channel on static lane slices.
+    #
+    # The matmul runs in the IMAGE's dtype: at bf16 the MXU is several
+    # times faster than f32, and this kernel IS matmul-bound at 128px
+    # (2·N·H·C·W ≈ 1.6 GFLOP/image — the r1 f32 version measured 13 ms
+    # at B=128, matching f32 MXU rates). bf16 selector entries {0, 1}
+    # are exact; only the folded lerp weights and the image round to
+    # 8-bit mantissa — ~1e-3 relative output error, irrelevant for an
+    # augmentation producing bf16-consumed encoder inputs. Callers that
+    # need exactness (tests, f32 pipelines) pass f32 images and get the
+    # bit-exact f32 path.
+    mt = img_ref.dtype
     if not with_grads:
-        # f32 matmul: bf16 was measured to give ZERO speedup here (the
-        # kernel is VPU/overhead-bound) while costing exactness vs the
-        # gather reference.
-        rows = jnp.dot(w_y, img_ref[0], preferred_element_type=jnp.float32)
+        rows = jnp.dot(
+            w_y.astype(mt), img_ref[0], preferred_element_type=jnp.float32
+        )
         for ch in range(c):
             seg = rows[:, ch * w : (ch + 1) * w]             # [T, W]
             out_ref[0, ch] = jnp.sum(w_x * seg, axis=1)
     else:
-        rows0 = jnp.dot(oh_y0, img_ref[0], preferred_element_type=jnp.float32)
-        rows1 = jnp.dot(oh_y1, img_ref[0], preferred_element_type=jnp.float32)
+        rows0 = jnp.dot(
+            oh_y0.astype(mt), img_ref[0], preferred_element_type=jnp.float32
+        )
+        rows1 = jnp.dot(
+            oh_y1.astype(mt), img_ref[0], preferred_element_type=jnp.float32
+        )
         wy1 = wy[:, 0]
         for ch in range(c):
             s0 = rows0[:, ch * w : (ch + 1) * w]
@@ -101,7 +115,10 @@ def _run_kernel(
     b, h, w, c = image.shape
     # Channel-major row layout [B, H, C*W]: one matmul y-interpolates
     # every channel; per-channel x-reduction uses static lane slices.
-    hcw = jnp.transpose(image, (0, 1, 3, 2)).reshape(b, h, c * w)
+    # Kept in the image's own dtype: bf16 halves the layout-copy bytes
+    # AND unlocks the fast MXU path in the kernel.
+    mt = image.dtype if image.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    hcw = jnp.transpose(image, (0, 1, 3, 2)).reshape(b, h, c * w).astype(mt)
 
     n = coords.shape[1]
     tile = min(2048, _round_up(n, 128))
@@ -126,7 +143,7 @@ def _run_kernel(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, rows, pad_n), jnp.float32),
         interpret=interpret,
-    )(hcw.astype(jnp.float32), coords.astype(jnp.float32))
+    )(hcw, coords.astype(jnp.float32))
     return out[:, :n_rows, :n]
 
 

@@ -28,6 +28,9 @@ def main(argv=None):
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) — env vars are "
                          "overridden by the environment's sitecustomize")
+    ap.add_argument("--check_data", action="store_true",
+                    help="validate the config's dataset layout under "
+                         "$PARTSEG_DATA (docs/real_data.md) and exit")
     args = ap.parse_args(argv)
 
     import jax
@@ -41,9 +44,15 @@ def main(argv=None):
 
     enable_compilation_cache()
 
-    init_distributed(args.coordinator)
     cfg = load_config(args.config)
     cfg = apply_overrides(cfg, args.set)
+    if args.check_data:
+        import sys
+
+        from partseg_tpu.data.check import check_data
+
+        sys.exit(0 if check_data(cfg.dataset, dict(cfg.dataset_kwargs)) else 1)
+    init_distributed(args.coordinator)
     if args.steps is not None:
         cfg = cfg.replace(steps=args.steps)
     if args.ckpt_dir is not None:

@@ -20,6 +20,7 @@ from partseg_tpu.data.loader import make_loader
 from partseg_tpu.data.registry import build_dataset
 from partseg_tpu.dist.mesh import (
     batch_sharding,
+    create_replicated,
     make_mesh,
     replicated_sharding,
     shard_batch,
@@ -40,7 +41,7 @@ def build_perceptual(cfg: TrainConfig) -> PerceptualLoss:
         extract=tuple(lw.vgg_layers), trim_blocks=lw.vgg_trim_blocks,
         dtype=cfg.model.dtype,
     )
-    vgg_params = load_vgg19_npz(vgg, lw.vgg_npz, cfg.model.img_size)
+    vgg_params, vgg_mode = load_vgg19_npz(vgg, lw.vgg_npz, cfg.model.img_size)
     return PerceptualLoss(
         vgg_params,
         extract=tuple(lw.vgg_layers),
@@ -49,6 +50,7 @@ def build_perceptual(cfg: TrainConfig) -> PerceptualLoss:
         trim_blocks=lw.vgg_trim_blocks,
         feature_resolution=lw.vgg_resolution,
         dtype=cfg.model.dtype,
+        vgg_mode=vgg_mode,
     )
 
 
@@ -64,11 +66,16 @@ def build_step_fn(cfg, model, sampler, perceptual, mesh):
     if mesh.size > 1:
         body = make_train_step(cfg, model, sampler, perceptual, axis_name="data")
         batch_spec = {"image": P("data"), "aug_id": P("data")}
+        # check_vma=False: pallas_call's out_shape carries no
+        # varying-mesh-axes annotation, so the new shard_map VMA checker
+        # rejects any Pallas kernel in the body. Collectives are explicit
+        # (pmean in the step) so the check adds nothing here.
         sharded = jax.shard_map(
             body,
             mesh=mesh,
             in_specs=(P(), batch_spec, P()),
             out_specs=(P(), P()),
+            check_vma=False,
         )
         return jax.jit(sharded, donate_argnums=0)
     return jax.jit(
@@ -95,9 +102,13 @@ def train(
     model = PartNet(cfg.model)
     sampler = cfg.augment.make_sampler()
     perceptual = build_perceptual(cfg)
+    print(f"[train] vgg_mode={perceptual.vgg_mode}")
 
-    state = create_state(cfg, model, jax.random.key(cfg.seed))
-    state = jax.device_put(state, replicated_sharding(mesh))
+    # SPMD init: identical on every host, placed as global replicated
+    # arrays (device_put cannot target other hosts' devices).
+    state = create_replicated(
+        lambda: create_state(cfg, model, jax.random.key(cfg.seed)), mesh
+    )
 
     ckpt = CheckpointManager(cfg.ckpt_dir, keep=cfg.ckpt_keep, save_every=cfg.ckpt_every)
     start_step = 0
@@ -114,17 +125,19 @@ def train(
         from partseg_tpu.data.loader import prefetch
 
         dataset = build_dataset(cfg.dataset, split="train", **dict(cfg.dataset_kwargs))
+        # start_batch=start_step IS the data-iterator checkpoint: one
+        # batch per step, so seeking to the restored step reproduces the
+        # uninterrupted batch sequence exactly (SURVEY.md §5.4). Callers
+        # passing their own data_iter own this seek themselves.
         data_iter = prefetch(
             make_loader(
                 dataset, per_host_batch, seed=cfg.seed, num_workers=4,
-                backend=cfg.loader_backend,
+                backend=cfg.loader_backend, start_batch=start_step,
             )
         )
 
     logger = MetricLogger(cfg.ckpt_dir)
-    base_key = jax.device_put(
-        jax.random.key(cfg.seed + 1), replicated_sharding(mesh)
-    )
+    base_key = create_replicated(lambda: jax.random.key(cfg.seed + 1), mesh)
     bsh = batch_sharding(mesh)
 
     t_last = time.perf_counter()
@@ -152,17 +165,20 @@ def train(
             jax.profiler.stop_trace()
 
         if step % cfg.log_every == 0 or step + 1 == cfg.steps:
-            m = jax.device_get(metrics)
+            m = jax.device_get(metrics)      # pmean'd → identical on all hosts
             now = time.perf_counter()
             dt = now - t_last
             m["img_per_sec_per_chip"] = imgs_since / dt / n_dev if dt > 0 else 0.0
             m["lr_step"] = step
-            logger.log(step, m)
+            m["vgg_mode"] = perceptual.vgg_mode
+            if jax.process_index() == 0:     # one writer per run dir
+                logger.log(step, m)
             t_last = now
             imgs_since = 0
 
         if cfg.image_log_every and step % cfg.image_log_every == 0:
-            _log_images(logger, viz_fn, state, device_batch, step)
+            if jax.process_index() == 0:
+                _log_images(logger, viz_fn, state, device_batch, step)
 
         if cfg.fault_injection_step is not None and step == cfg.fault_injection_step:
             print(f"[train] FAULT INJECTION at step {step} — exiting hard")
@@ -190,12 +206,25 @@ def _globalize(host_array, sharding):
     return jax.make_array_from_process_local_data(sharding, host_array, global_shape)
 
 
+def _host_local_rows(arr, n: int):
+    """First n rows of THIS host's addressable shards of a global array.
+
+    Multi-host safe: global-array `[:n]` indexing would touch
+    non-addressable shards living on other hosts. Logging only needs a
+    few sample images, so process-local rows are the right content."""
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    rows = np.concatenate([np.asarray(s.data) for s in shards])
+    return rows[:n]
+
+
 def _log_images(logger: MetricLogger, viz_fn, state, batch, step: int):
     """edflow log_op parity (SURVEY.md §5.5): recon + part-map overlays."""
     import numpy as np
 
     n = min(8, batch["image"].shape[0])
-    x = batch["image"][:n]
+    x = _host_local_rows(batch["image"], n)
     out = viz_fn(state.params, x)
     heat = np.asarray(out.parts_a)                    # [n, h, w, K]
     # Color-code parts by index for a single overlay image.

@@ -29,8 +29,13 @@ class MetricLogger:
                 self._tb = None
 
     def log(self, step: int, metrics: Mapping[str, Any]) -> None:
-        scalars = {k: float(v) for k, v in metrics.items()}
-        rec = {"step": int(step), "time": time.time(), **scalars}
+        # Strings (e.g. vgg_mode provenance) go to the JSONL record but
+        # not to TensorBoard scalars.
+        scalars = {
+            k: float(v) for k, v in metrics.items() if not isinstance(v, str)
+        }
+        tags = {k: v for k, v in metrics.items() if isinstance(v, str)}
+        rec = {"step": int(step), "time": time.time(), **scalars, **tags}
         line = json.dumps(rec)
         print(line, flush=True)
         self._jsonl.write(line + "\n")

@@ -62,3 +62,17 @@ def test_fused_nonsquare_and_nonmultiple_n():
     got = bilinear_sample_fused(img, crd)
     want = bilinear_sample(img, crd, "border", impl="gather")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_bf16_fast_path_close_to_f32():
+    # The bf16 MXU fast path (train-step augmentation) must stay within
+    # bf16 rounding of the exact f32 gather reference: selector entries
+    # are exact in bf16, only image values + lerp weights round.
+    img = jax.random.uniform(jax.random.key(4), (2, 16, 24, 3))
+    crd = _coords(jax.random.key(5), 2, 100)
+    got = bilinear_sample_fused(img.astype(jnp.bfloat16), crd)
+    assert got.dtype == jnp.bfloat16
+    want = bilinear_sample(img, crd, "border", impl="gather")
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), atol=2e-2
+    )

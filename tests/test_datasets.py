@@ -150,3 +150,29 @@ def test_missing_data_raises(tmp_path, monkeypatch):
     monkeypatch.setenv("PARTSEG_DATA", str(tmp_path / "nothing"))
     with pytest.raises(FileNotFoundError):
         build_dataset("celeba", split="train", size=16)[0]
+
+
+def test_check_data_pass_and_fail(tmp_path, monkeypatch, capsys):
+    # docs/real_data.md pre-flight: PASS on a valid fixture tree, FAIL
+    # (with the failing split named) on an empty mount.
+    from partseg_tpu.data.check import check_data
+
+    root = tmp_path / "celeba"
+    names = [f"{i:06d}.jpg" for i in range(1, 7)]
+    for i, n in enumerate(names):
+        _write_img(root / "img_align_celeba" / n, seed=i)
+    lm_lines = ["6", "hdr"]
+    for n in names:
+        lm_lines.append(n + " 10 12 20 12 15 18 12 25 18 25")
+    (root / "list_landmarks_align_celeba.txt").write_text("\n".join(lm_lines))
+    (root / "mafl_training.txt").write_text("\n".join(names[:4]))
+    (root / "mafl_testing.txt").write_text("\n".join(names[4:]))
+    monkeypatch.setenv("PARTSEG_DATA", str(tmp_path))
+
+    assert check_data("celeba", {"size": 32}) is True
+    out = capsys.readouterr().out
+    assert "PASS unsup" in out and "VGG19 weights:" in out
+
+    monkeypatch.setenv("PARTSEG_DATA", str(tmp_path / "empty"))
+    assert check_data("celeba", {"size": 32}) is False
+    assert "FAIL" in capsys.readouterr().out

@@ -57,3 +57,52 @@ def test_match_parts_majority_vote():
     assert mapping[0] == 0 and mapping[1] == 3
     remapped = mapping[pred]
     assert segmentation_iou(remapped, gt, n_classes=4)["miou"] == 1.0
+
+
+def test_eval_sees_whole_split_with_remainder():
+    # [B:2] protocol exactness: with drop_remainder=False + pad/trim the
+    # protocol must score EVERY example (22 % 8 = 6-example tail batch).
+    import jax
+    import numpy as np
+
+    from partseg_tpu.data.loader import make_loader
+    from partseg_tpu.data.synthetic import SyntheticBlobs
+    from partseg_tpu.evals.landmarks import evaluate_landmarks
+    from partseg_tpu.models.partnet import PartNet, PartNetConfig
+
+    cfg = PartNetConfig(n_parts=3, img_size=16, features=16, depth=1,
+                        app_features=8, decoder_scales=2, use_pallas=False)
+    model = PartNet(cfg)
+    x = np.zeros((1, 16, 16, 3), np.float32)
+    params = model.init(jax.random.key(0), x, x)
+    ds = SyntheticBlobs(size=16, n_blobs=3, n_examples=22)
+
+    def it():
+        return make_loader(ds, 8, shuffle=False, num_epochs=1,
+                           drop_remainder=False)
+
+    m = evaluate_landmarks(model, params, it(), it())
+    assert m["n_train"] == 22.0 and m["n_test"] == 22.0, m
+
+
+def test_segmentation_eval_upsamples_predictions():
+    # Predictions are NN-upsampled to the label resolution (GCPR
+    # protocol: IoU at full label res), never label-downsampling —
+    # remainder batches included.
+    import jax
+    import numpy as np
+
+    from partseg_tpu.data.loader import make_loader
+    from partseg_tpu.data.synthetic import SyntheticBlobs
+    from partseg_tpu.evals.segmentation import evaluate_segmentation
+    from partseg_tpu.models.partnet import PartNet, PartNetConfig
+
+    cfg = PartNetConfig(n_parts=3, img_size=16, features=16, depth=1,
+                        app_features=8, decoder_scales=2, use_pallas=False)
+    model = PartNet(cfg)
+    x = np.zeros((1, 16, 16, 3), np.float32)
+    params = model.init(jax.random.key(0), x, x)
+    ds = SyntheticBlobs(size=16, n_blobs=3, n_examples=10, with_masks=True)
+    it = make_loader(ds, 4, shuffle=False, num_epochs=1, drop_remainder=False)
+    m = evaluate_segmentation(model, params, it, n_classes=4)
+    assert 0.0 <= m["miou"] <= 1.0 and 0.0 <= m["fg_iou"] <= 1.0

@@ -72,3 +72,40 @@ def test_native_loader_iterator(images):
     b2 = next(it)
     assert b1["image"].shape == (4, 16, 16, 3)
     assert b2["image"].shape == (4, 16, 16, 3)
+
+
+def test_native_loader_start_batch_seeks_exactly(images):
+    # SURVEY.md §5.4: start_batch seek reproduces the uninterrupted
+    # sequence exactly, including across the epoch boundary (3
+    # batches/epoch here, seek to batch 4 = epoch 1 batch 1).
+    from partseg_tpu.data.base import ImageListDataset
+    from partseg_tpu.data.native import native_loader
+
+    tmp, _ = images
+    ds = ImageListDataset(paths=[tmp / "a.jpg", tmp / "b.png"] * 3, size=16)
+    full = [
+        b["image"]
+        for b, _ in zip(
+            native_loader(ds, batch_size=2, seed=5, num_threads=2), range(7)
+        )
+    ]
+    res = [
+        b["image"]
+        for b, _ in zip(
+            native_loader(ds, batch_size=2, seed=5, num_threads=2,
+                          start_batch=4),
+            range(3),
+        )
+    ]
+    for a, b in zip(full[4:], res):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_u8_output_matches_f32(pool, images):
+    # The uint8 training path must be the same pixels as the f32 path
+    # (f32 is just u8 * 1/255 — decode/crop/resize all happen in u8).
+    tmp, _ = images
+    b8 = pool.load_batch([tmp / "b.png"], dtype="u8")
+    bf = pool.load_batch([tmp / "b.png"], dtype="f32")
+    assert b8.dtype == np.uint8 and bf.dtype == np.float32
+    np.testing.assert_allclose(b8.astype(np.float32) / 255.0, bf, atol=1e-6)

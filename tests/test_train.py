@@ -140,3 +140,73 @@ def test_smoke_train_loss_decreases(tmp_path):
 def test_registry_unknown_dataset():
     with pytest.raises(KeyError, match="synthetic"):
         build_dataset("nope")
+
+
+def test_loader_start_batch_seeks_exactly():
+    # SURVEY.md §5.4: the data-iterator "checkpoint" is the batch index;
+    # a loader seeked to start_batch=k must reproduce batch k, k+1, ...
+    # of the uninterrupted stream exactly (incl. across epoch bounds).
+    ds = SyntheticBlobs(size=8, n_blobs=1, n_examples=40)
+    full = [b["image"] for b, _ in zip(make_loader(ds, 4, seed=3), range(12))]
+    res = [
+        b["image"]
+        for b, _ in zip(make_loader(ds, 4, seed=3, start_batch=5), range(7))
+    ]
+    assert len(full) == 12 and len(res) == 7
+    for a, b in zip(full[5:], res):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_resume_seeks_data_iterator(tmp_path, monkeypatch):
+    # Resume must pass start_batch=restored_step into the loader, so the
+    # post-restore batch sequence equals the uninterrupted one.
+    import partseg_tpu.train.loop as loop_mod
+
+    starts = []
+    real = loop_mod.make_loader
+
+    def spy(*a, **kw):
+        starts.append(kw.get("start_batch", 0))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(loop_mod, "make_loader", spy)
+    cfg = TINY.replace(steps=4, ckpt_dir=str(tmp_path / "run"), ckpt_every=2)
+    train(cfg)
+    train(cfg.replace(steps=6))
+    assert starts == [0, 4], starts
+
+
+def test_pallas_step_under_shard_map():
+    # The combination that runs on a real v5e-8: pallas_call inside the
+    # shard_map DP step (interpret mode on the CPU backend, tiny shapes).
+    # shard_map was chosen over pjit auto-sharding precisely because of
+    # pallas_call, so this pairing needs first-class coverage.
+    from partseg_tpu.train.loop import build_step_fn
+
+    cfg = TINY.replace(
+        model=PartNetConfig(n_parts=3, img_size=16, features=16, depth=1,
+                            app_features=8, decoder_scales=2, use_pallas=True)
+    )
+    model = PartNet(cfg.model)
+    mesh = make_mesh()
+    assert mesh.size == 8
+    step_fn = build_step_fn(
+        cfg, model, cfg.augment.make_sampler(), build_perceptual(cfg), mesh
+    )
+    state = jax.device_put(
+        create_state(cfg, model, jax.random.key(0)), replicated_sharding(mesh)
+    )
+    batch = {
+        "image": jax.device_put(
+            jnp.asarray(
+                np.random.default_rng(0).uniform(0, 1, (8, 16, 16, 3)),
+                jnp.float32,
+            ),
+            batch_sharding(mesh),
+        ),
+        "aug_id": jax.device_put(
+            jnp.arange(8, dtype=jnp.int32), batch_sharding(mesh)
+        ),
+    }
+    new_state, metrics = step_fn(state, batch, jax.random.key(7))
+    assert np.isfinite(float(metrics["loss"]))

@@ -14,7 +14,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(ckpt_dir: str):
+def main(ckpt_dir: str, overrides: list | None = None):
     import jax
 
     from partseg_tpu.data.loader import make_loader
@@ -26,6 +26,10 @@ def main(ckpt_dir: str):
     from partseg_tpu.train.state import create_state
 
     cfg = load_config("configs/synthetic.py").replace(ckpt_dir=ckpt_dir)
+    if overrides:
+        from partseg_tpu.train.config import apply_overrides
+
+        cfg = apply_overrides(cfg, overrides)
     model, params = load_model_and_params(cfg, ckpt_dir)
     kwargs = dict(cfg.dataset_kwargs)
 
@@ -49,12 +53,13 @@ def main(ckpt_dir: str):
     # vs random 0.157 / 0.0); tighten toward fg>0.5 once the seg loss is
     # tuned on real data in later rounds.
     ok = trained["miou"] > 2 * rand["miou"] and trained["fg_iou"] > 0.25
+    result["ok"] = ok
     print("SEG VALIDATION", "PASS" if ok else "FAIL")
-    return 0 if ok else 1
+    return result
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt_dir", default="logs/val_long")
     a = ap.parse_args()
-    raise SystemExit(main(a.ckpt_dir))
+    raise SystemExit(0 if main(a.ckpt_dir)["ok"] else 1)

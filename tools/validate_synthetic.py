@@ -75,6 +75,7 @@ def main(steps: int = 600, out_dir: str = "logs/validate_synthetic",
     rand_state = create_state(cfg, model, jax.random.key(123))
     random_err = error_for(rand_state.params)
 
+    ok = last_eq < first_eq * 0.5 and trained_err < random_err * 0.6
     result = {
         "equiv_first": round(float(first_eq), 4),
         "equiv_last": round(float(last_eq), 4),
@@ -82,11 +83,11 @@ def main(steps: int = 600, out_dir: str = "logs/validate_synthetic",
         "landmark_err_pct_diag_trained": round(trained_err, 3),
         "landmark_err_pct_diag_random": round(random_err, 3),
         "steps": steps,
+        "ok": ok,
     }
     print(json.dumps(result))
-    ok = last_eq < first_eq * 0.5 and trained_err < random_err * 0.6
     print("VALIDATION", "PASS" if ok else "FAIL")
-    return 0 if ok else 1
+    return result
 
 
 if __name__ == "__main__":
@@ -95,4 +96,4 @@ if __name__ == "__main__":
     ap.add_argument("--out_dir", default="logs/validate_synthetic")
     ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL")
     a = ap.parse_args()
-    raise SystemExit(main(a.steps, a.out_dir, getattr(a, "set")))
+    raise SystemExit(0 if main(a.steps, a.out_dir, getattr(a, "set"))["ok"] else 1)
