@@ -23,6 +23,11 @@ def get_config() -> TrainConfig:
     return TrainConfig(
         model=PartNetConfig(
             n_parts=10, img_size=128, depth=3, decoder_scales=3,
+            # 3-scale pyramid must still END at 32 channels for the
+            # full-res scale: the default 4-scale pyramid sliced to 3
+            # left 64ch at 128² — a MORE expensive decoder than the
+            # flagship's (r2 bench: 736 img/s, slower than flagship).
+            decoder_features=(128, 64, 32),
         ),
         augment=AugmentConfig(),
         loss=LossConfig(

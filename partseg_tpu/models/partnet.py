@@ -51,7 +51,14 @@ class PartNetConfig:
     # per-part spatial distributions (pure Lorenz'19 landmarks; the
     # segmentation head stays untrained).
     pool_masks: str = "pixel"
-    use_pallas: bool = True          # fused kernels (interpret mode off-TPU)
+    # Part-op implementation. False (default) = pure-XLA ops: measured
+    # FASTER full-step than the fused Pallas kernels (938 vs 817 img/s
+    # flagship B=128, r2 A/B) — custom calls fragment XLA fusion regions
+    # and force operand-layout copies that cost more than the kernels
+    # save. True keeps the kernels (parity+grad tested) for shapes
+    # where XLA's fusions regress. The bilinear WARP is separate
+    # (augment.warp_impl) and stays Pallas: XLA's gather is 3× slower.
+    use_pallas: bool = False
     remat: bool = False              # rematerialize hourglasses (memory↓, FLOPs↑)
     dtype: Any = jnp.bfloat16
 

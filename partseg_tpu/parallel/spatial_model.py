@@ -1,0 +1,170 @@
+"""Spatially-sharded ShapeEncoder forward — the >128px scaling path.
+
+Runs the TRAINED shape encoder (models/encoders.py param tree,
+unchanged checkpoints) with the image ROWS sharded over a "space" mesh
+axis: every 3×3 conv gets true neighbor rows via halo_exchange, every
+GroupNorm uses exact global statistics via psum, pools/upsamples are
+row-local. Exact (not approximate) vs the single-device forward —
+tested in tests/test_spatial_sharding.py.
+
+This is the docs/spatial_sharding.md design made concrete for the
+inference/eval surface: a 512px or 1024px image that does not fit one
+chip's HBM forward-passes over Mesh(("space",)) without touching the
+checkpoint format (params stay replicated; Orbax is sharding-agnostic).
+The same functions compose under a 2-D ("data", "space") mesh for
+sharded training forwards.
+
+Structure mirrored (indices = Flax call order, models/encoders.py):
+  _Stem_0:       s2d → Conv_0 (3×3) → ResBlock_0
+  Hourglass_i:   recursion level(d): ResBlock(up), ResBlock(low),
+                 [recurse | ResBlock], ResBlock — depth-first numbering
+  ConvBlock_0:   GN → relu → Conv 1×1
+  Conv_0:        1×1 part-logit head (f32)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from partseg_tpu.parallel.spatial import SPACE_AXIS, halo_exchange
+
+
+def sharded_group_norm(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    groups: int,
+    eps: float = 1e-6,
+    axis_name: str = SPACE_AXIS,
+) -> jax.Array:
+    """flax.linen.GroupNorm with EXACT global statistics from row
+    shards: per-(sample, group) sum/sq-sum partials + psum."""
+    b, h, w, c = x.shape
+    g = min(groups, c)
+    xf = x.astype(jnp.float32).reshape(b, h, w, g, c // g)
+    s1 = jax.lax.psum(jnp.sum(xf, axis=(1, 2, 4)), axis_name)       # [B, G]
+    s2 = jax.lax.psum(jnp.sum(xf * xf, axis=(1, 2, 4)), axis_name)
+    cnt = jax.lax.psum(
+        jnp.full((), h * w * (c // g), jnp.float32), axis_name
+    )
+    mean = s1 / cnt
+    var = s2 / cnt - mean * mean
+    inv = jax.lax.rsqrt(var + eps)[:, None, None, :, None]
+    out = (xf - mean[:, None, None, :, None]) * inv
+    out = out.reshape(b, h, w, c)
+    return (out * scale + bias).astype(x.dtype)
+
+
+def _conv(x, p, axis_name):
+    """Conv (SAME over the global image) from a row shard; 1×1 convs
+    skip the halo."""
+    kern = p["kernel"].astype(x.dtype)
+    kh, kw = kern.shape[0], kern.shape[1]
+    if kh > 1:
+        x = halo_exchange(x, kh // 2, axis_name)
+    out = jax.lax.conv_general_dilated(
+        x, kern, (1, 1), ((0, 0), (kw // 2, kw // 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + p["bias"].astype(out.dtype)
+
+
+def _convblock(x, p, axis_name, norm: bool):
+    """models/blocks.py ConvBlock: [GN] → relu → conv."""
+    if norm:
+        gn = p["GroupNorm_0"]
+        x = sharded_group_norm(
+            x, gn["scale"], gn["bias"], groups=8, axis_name=axis_name
+        )
+    return _conv(jax.nn.relu(x), p["Conv_0"], axis_name)
+
+
+def _resblock(x, p, axis_name):
+    """models/blocks.py ResBlock (block-GN mode): GN at entry, then
+    1×1 → 3×3 → 1×1 (norm-free ConvBlocks), projection skip if present."""
+    gn = p["GroupNorm_0"]
+    x = sharded_group_norm(
+        x, gn["scale"], gn["bias"], groups=8, axis_name=axis_name
+    )
+    y = _convblock(x, p["ConvBlock_0"], axis_name, norm=False)
+    y = _convblock(y, p["ConvBlock_1"], axis_name, norm=False)
+    y = _convblock(y, p["ConvBlock_2"], axis_name, norm=False)
+    if "Conv_0" in p:                                  # projection skip
+        x = _conv(x, p["Conv_0"], axis_name)
+    return x + y
+
+
+def _avg_pool2(x):
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
+def _upsample2(x):
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def _hourglass(x, p, depth, axis_name):
+    """models/hourglass.py recursion with depth-first ResBlock
+    numbering (the Flax call order)."""
+    counter = [0]
+
+    def rb(x):
+        block = p[f"ResBlock_{counter[0]}"]
+        counter[0] += 1
+        return _resblock(x, block, axis_name)
+
+    def level(x, d):
+        up = rb(x)
+        low = _avg_pool2(x)
+        low = rb(low)
+        low = level(low, d - 1) if d > 1 else rb(low)
+        low = rb(low)
+        return up + _upsample2(low)
+
+    return level(x, depth)
+
+
+def _stem(x, p, axis_name):
+    """models/encoders.py _Stem: 2×2 space-to-depth → 3×3 conv → ResBlock."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    x = _conv(x, p["Conv_0"], axis_name)
+    return _resblock(x, p["ResBlock_0"], axis_name)
+
+
+def sharded_shape_encoder(
+    params,
+    x: jax.Array,
+    *,
+    depth: int = 4,
+    n_stacks: int = 1,
+    axis_name: str = SPACE_AXIS,
+) -> jax.Array:
+    """ShapeEncoder forward on a ROW SHARD of the input image.
+
+    Args:
+      params: the trained encoder's param dict (the "params" subtree of
+        `ShapeEncoder.init`, or `PartNet` params' shape_enc subtree).
+      x: [B, H_local, W, 3] — this shard's rows; H_local·2^(depth+1)
+        row-divisibility must hold per shard (static check below).
+      depth, n_stacks: the encoder's config.
+
+    Returns: [B, H_local/2, W/2, K(+1)] part logits for this shard's rows.
+    """
+    p = params["params"] if "params" in params else params
+    h_local = x.shape[1]
+    if h_local % (2 ** (depth + 1)):
+        raise ValueError(
+            f"H_local={h_local} must be divisible by 2^(depth+1)="
+            f"{2 ** (depth + 1)} (stem stride × hourglass pools)"
+        )
+    x = _stem(x, p["_Stem_0"], axis_name)
+    for i in range(n_stacks):
+        x = _hourglass(x, p[f"Hourglass_{i}"], depth, axis_name)
+    x = _convblock(x, p["ConvBlock_0"], axis_name, norm=True)
+    x = _conv(x.astype(jnp.float32), p["Conv_0"], axis_name)
+    return x

@@ -42,15 +42,23 @@ def soft_argmax_moments(p: jax.Array) -> tuple[jax.Array, jax.Array]:
         "bnk,nm->bkm", pf, basis,
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
+    return moments_from_raw(raw)
+
+
+def moments_from_raw(raw: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(μ, Σ) from raw moments [..., 5] = (E[y], E[x], E[y²], E[yx], E[x²]).
+
+    Split out so spatially-sharded callers can psum raw-moment partials
+    over the "space" mesh axis first (parallel/spatial.py)."""
     ey, ex, eyy, eyx, exx = (raw[..., i] for i in range(5))
-    mu = jnp.stack([ey, ex], axis=-1)                          # [B, K, 2]
+    mu = jnp.stack([ey, ex], axis=-1)                          # [..., 2]
     cyy = eyy - ey * ey
     cyx = eyx - ey * ex
     cxx = exx - ex * ex
     sigma = jnp.stack(
         [jnp.stack([cyy, cyx], axis=-1), jnp.stack([cyx, cxx], axis=-1)],
         axis=-2,
-    )                                                          # [B, K, 2, 2]
+    )                                                          # [..., 2, 2]
     return mu, sigma
 
 

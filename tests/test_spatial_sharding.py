@@ -1,0 +1,174 @@
+"""Spatial-sharding exactness tests (docs/spatial_sharding.md,
+SURVEY.md §5.7): every building block, run under shard_map with image
+ROWS sharded over a "space" mesh axis (8 virtual CPU devices), must
+match the unsharded partops implementation bit-for-bit (same op order)
+or to f32 tolerance (reductions reassociate across shards)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from partseg_tpu.parallel import (
+    halo_exchange,
+    sharded_pool_appearance,
+    sharded_render_gaussians,
+    sharded_soft_argmax_moments,
+    sharded_spatial_conv,
+    sharded_spatial_softmax,
+)
+from partseg_tpu.partops import (
+    pool_appearance,
+    render_gaussians,
+    soft_argmax_moments,
+    spatial_softmax,
+)
+
+B, H, W, K, C = 2, 32, 16, 3, 8
+SP = 4          # spatial shards (rows)
+
+
+def _mesh():
+    return Mesh(np.array(jax.devices()[:SP]), ("space",))
+
+
+def _smap(fn, in_specs, out_specs=P()):
+    return jax.jit(
+        jax.shard_map(
+            fn, mesh=_mesh(), in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    )
+
+
+ROWS = P(None, "space", None, None)   # [B, H, W, C] rows sharded
+
+
+def test_halo_exchange_neighbor_rows():
+    x = jax.random.normal(jax.random.key(0), (B, H, W, C))
+
+    got = _smap(
+        lambda x: halo_exchange(x, 1), (ROWS,), ROWS
+    )(x)
+    # Each shard's widened slab re-assembles into [B, SP*(Hs+2), W, C];
+    # check shard 1's slab == global rows [Hs-1, 2*Hs+1).
+    hs = H // SP
+    slab = got.reshape(B, SP, hs + 2, W, C)[:, 1]
+    np.testing.assert_array_equal(np.asarray(slab), np.asarray(x[:, hs - 1 : 2 * hs + 1]))
+    # Global edges are zero rows (SAME-padding semantics).
+    top = got.reshape(B, SP, hs + 2, W, C)[:, 0, 0]
+    assert np.all(np.asarray(top) == 0.0)
+
+
+def test_sharded_conv_matches_global_same_conv():
+    x = jax.random.normal(jax.random.key(1), (B, H, W, C))
+    kern = jax.random.normal(jax.random.key(2), (3, 3, C, 5)) * 0.1
+
+    want = jax.lax.conv_general_dilated(
+        x, kern, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    got = _smap(
+        lambda x: sharded_spatial_conv(x, kern), (ROWS,), ROWS
+    )(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_sharded_spatial_softmax_matches():
+    logits = jax.random.normal(jax.random.key(3), (B, H, W, K)) * 3.0
+    want = spatial_softmax(logits)
+    got = _smap(sharded_spatial_softmax, (ROWS,), ROWS)(logits)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    # and it really is a global distribution
+    s = np.asarray(got).sum(axis=(1, 2))
+    np.testing.assert_allclose(s, 1.0, atol=1e-5)
+
+
+def test_sharded_moments_match():
+    logits = jax.random.normal(jax.random.key(4), (B, H, W, K)) * 2.0
+    p = spatial_softmax(logits)
+    mu_w, sig_w = soft_argmax_moments(p)
+
+    fn = _smap(
+        lambda p: sharded_soft_argmax_moments(p, h_global=H),
+        (ROWS,), (P(), P()),
+    )
+    mu_g, sig_g = fn(p)
+    np.testing.assert_allclose(np.asarray(mu_g), np.asarray(mu_w), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sig_g), np.asarray(sig_w), atol=1e-5)
+
+
+def test_sharded_render_matches():
+    mu = jax.random.uniform(jax.random.key(5), (B, K, 2), minval=-0.5, maxval=0.5)
+    sigma = 0.03 * jnp.broadcast_to(jnp.eye(2), (B, K, 2, 2))
+    want = render_gaussians(mu, sigma, H, W)
+    fn = _smap(
+        lambda m, s: sharded_render_gaussians(
+            m, s, h_global=H, w=W, h_local=H // SP
+        ),
+        (P(), P()),
+        P(None, "space", None, None),
+    )
+    got = fn(mu, sigma)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_sharded_pooling_matches():
+    feats = jax.random.normal(jax.random.key(6), (B, H, W, C))
+    parts = jax.nn.softmax(
+        jax.random.normal(jax.random.key(7), (B, H, W, K)), axis=-1
+    )
+    want = pool_appearance(feats, parts)
+    got = _smap(sharded_pool_appearance, (ROWS, ROWS), P())(feats, parts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_end_to_end_shape_head_sharded():
+    # conv → spatial softmax → moments → render, all row-sharded, vs
+    # the same chain unsharded: the full part-discovery head works
+    # spatially sharded (the >128px scaling path).
+    x = jax.random.normal(jax.random.key(8), (B, H, W, C))
+    kern = jax.random.normal(jax.random.key(9), (3, 3, C, K)) * 0.2
+
+    def head_unsharded(x):
+        logits = jax.lax.conv_general_dilated(
+            x, kern, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        p = spatial_softmax(logits)
+        mu, sig = soft_argmax_moments(p)
+        return render_gaussians(mu, sig, H, W)
+
+    def head_sharded(x):
+        logits = sharded_spatial_conv(x, kern)
+        p = sharded_spatial_softmax(logits)
+        mu, sig = sharded_soft_argmax_moments(p, h_global=H)
+        return sharded_render_gaussians(mu, sig, H, W, h_local=H // SP)
+
+    want = head_unsharded(x)
+    got = _smap(head_sharded, (ROWS,), ROWS)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_sharded_shape_encoder_matches_flax_forward():
+    # The FULL trained shape encoder forward, row-sharded over 4
+    # devices (halo convs + global-stat GroupNorms + local pools), must
+    # match the single-device Flax forward — the >128px inference path
+    # (parallel/spatial_model.py) with unchanged checkpoints.
+    from partseg_tpu.models.encoders import ShapeEncoder
+    from partseg_tpu.parallel.spatial_model import sharded_shape_encoder
+
+    depth = 2
+    enc = ShapeEncoder(n_parts=3, background=True, depth=depth,
+                       features=16, n_stacks=1, dtype=jnp.float32)
+    x = jax.random.uniform(jax.random.key(10), (2, 64, 32, 3))
+    params = enc.init(jax.random.key(11), x)
+    want = enc.apply(params, x)
+
+    fn = _smap(
+        lambda xs: sharded_shape_encoder(params, xs, depth=depth),
+        (ROWS,), ROWS,
+    )
+    got = fn(x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)

@@ -26,13 +26,22 @@ def main():
     from partseg_tpu.train.state import create_state
 
     B = int(os.environ.get("TRACE_BATCH", "64"))
-    cfg = TrainConfig(
-        model=PartNetConfig(n_parts=10, img_size=128),
-        augment=AugmentConfig(),
-        loss=LossConfig(),
-        optim=OptimConfig(),
-        global_batch=B,
-    )
+    if os.environ.get("TRACE_CONFIG"):
+        from partseg_tpu.train.config import load_config
+
+        cfg = load_config(os.environ["TRACE_CONFIG"]).replace(global_batch=B)
+    else:
+        cfg = TrainConfig(
+            model=PartNetConfig(n_parts=10, img_size=128),
+            augment=AugmentConfig(),
+            loss=LossConfig(),
+            optim=OptimConfig(),
+            global_batch=B,
+        )
+    if os.environ.get("TRACE_SET"):
+        from partseg_tpu.train.config import apply_overrides
+
+        cfg = apply_overrides(cfg, os.environ["TRACE_SET"].split())
     mesh = make_mesh()
     model = PartNet(cfg.model)
     state = create_state(cfg, model, jax.random.key(0))
@@ -52,33 +61,56 @@ def main():
             state, m = step_fn(state, batch, key)
         jax.block_until_ready(state.params)
 
-    # Parse the chrome trace.
+    print_trace_breakdown(trace_dir, n_steps=3)
+
+
+def print_trace_breakdown(trace_dir: str, n_steps: float) -> None:
+    """Aggregate the device 'XLA Ops' thread (leaf ops only — the
+    'Steps'/'XLA Modules' threads are containers that double-count)."""
+    import re
+
     paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
     assert paths, f"no trace written under {trace_dir}"
     path = max(paths, key=os.path.getmtime)
     with gzip.open(path, "rt") as f:
         data = json.load(f)
 
-    # Device-side complete events; exclude host threads by pid name.
-    pid_names = {}
+    tid_names = {}
     for ev in data["traceEvents"]:
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            pid_names[ev["pid"]] = ev["args"].get("name", "")
-    device_pids = {p for p, n in pid_names.items() if "TPU" in n or "tpu" in n}
+        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
+            tid_names[(ev["pid"], ev["tid"])] = ev["args"].get("name", "")
 
     agg = defaultdict(float)
+    cat = defaultdict(float)
     total = 0.0
     for ev in data["traceEvents"]:
-        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
+        if ev.get("ph") != "X":
+            continue
+        if tid_names.get((ev["pid"], ev.get("tid"))) != "XLA Ops":
             continue
         name = ev.get("name", "?")
         dur = ev.get("dur", 0) / 1e3  # us -> ms
         agg[name] += dur
         total += dur
-    print(f"total device time over 3 steps: {total:.1f} ms "
-          f"({total/3:.1f} ms/step)")
-    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"{dur/3:9.3f} ms/step  {100*dur/total:5.1f}%  {name[:110]}")
+        base = re.sub(r"[.\d]+$", "", name)
+        if "convolution" in name:
+            c = "convolution"
+        elif base.startswith("copy") or "transpose" in base:
+            c = "copy/transpose"
+        elif "dot" in base:
+            c = "dot"
+        elif "scatter" in base or "gather" in base or "dynamic" in base:
+            c = "gather/scatter"
+        else:
+            c = base
+        cat[c] += dur
+    print(f"total XLA-op time: {total:.1f} ms ({total/n_steps:.1f} ms/step)")
+    print("== categories ==")
+    for name, dur in sorted(cat.items(), key=lambda kv: -kv[1])[:20]:
+        print(f"{dur/n_steps:9.3f} ms/step {100*dur/total:5.1f}%  {name}")
+    print("== top individual ops ==")
+    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{dur/n_steps:9.3f} ms/step {100*dur/total:5.1f}%  {name[:100]}")
 
 
 if __name__ == "__main__":
