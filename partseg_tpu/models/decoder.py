@@ -38,6 +38,14 @@ class Decoder(nn.Module):
     features: Any = (256, 128, 64, 32)
     render_kernel: str = "gauss"
     use_pallas: bool = True
+    norm: str = "block"
+    # Project the [B, K, C] appearance vectors down to each scale's
+    # pyramid width BEFORE the Σφ⊗a assembly (a tiny [C, f] Dense per
+    # scale). Without this, the finest scale materializes a
+    # [B, S, S, C=128] assembled tensor — 537 MB bf16 at B=128/128px,
+    # the single largest HBM object in the r2 trace — for a ResBlock
+    # that immediately projects to 32 channels anyway.
+    app_proj: bool = True
     dtype: Any = jnp.bfloat16
 
     def _feat(self, i: int) -> int:
@@ -56,21 +64,27 @@ class Decoder(nn.Module):
         x = None
         for i in range(self.n_scales):
             res = self.out_size // (2 ** (self.n_scales - 1 - i))
+            f = self._feat(i)
+            a_i = (
+                nn.Dense(f, dtype=self.dtype, param_dtype=jnp.float32,
+                         name=f"app_proj_{i}")(app)
+                if self.app_proj
+                else app
+            )
             if self.use_pallas:
                 from partseg_tpu.partops.pallas import render_assemble
 
                 feat = render_assemble(
-                    mu, lam, app, res, res, self.render_kernel
+                    mu, lam, a_i, res, res, self.render_kernel
                 ).astype(self.dtype)
             else:
                 blobs = render_gaussians(
                     mu, sigma, res, res,
                     kernel=self.render_kernel, precision=lam, dtype=self.dtype,
                 )
-                feat = assemble_decoder_input(blobs, app)   # [B, res, res, C]
+                feat = assemble_decoder_input(blobs, a_i)   # [B, res, res, f]
             x = feat if x is None else jnp.concatenate([upsample2x(x), feat], axis=-1)
-            f = self._feat(i)
-            x = ResBlock(f, dtype=self.dtype)(x)
-            x = ResBlock(f, dtype=self.dtype)(x)
+            x = ResBlock(f, norm=self.norm, dtype=self.dtype)(x)
+            x = ResBlock(f, norm=self.norm, dtype=self.dtype)(x)
         rgb = nn.Conv(3, (1, 1), dtype=jnp.float32, param_dtype=jnp.float32)(x)
         return nn.sigmoid(rgb)

@@ -29,6 +29,7 @@ class _Stem(nn.Module):
 
     features: int
     dtype: Any
+    norm: str = "block"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -40,7 +41,7 @@ class _Stem(nn.Module):
         x = nn.Conv(
             self.features // 2, (3, 3), dtype=self.dtype, param_dtype=jnp.float32
         )(x)
-        return ResBlock(self.features, dtype=self.dtype)(x)
+        return ResBlock(self.features, norm=self.norm, dtype=self.dtype)(x)
 
 
 class ShapeEncoder(nn.Module):
@@ -52,14 +53,15 @@ class ShapeEncoder(nn.Module):
     features: int = 128
     n_stacks: int = 1
     remat: bool = False
+    norm: str = "block"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         hg = nn.remat(Hourglass) if self.remat else Hourglass
-        x = _Stem(self.features, self.dtype)(x)
+        x = _Stem(self.features, self.dtype, self.norm)(x)
         for _ in range(self.n_stacks):
-            x = hg(self.depth, self.features, dtype=self.dtype)(x)
+            x = hg(self.depth, self.features, norm=self.norm, dtype=self.dtype)(x)
         x = ConvBlock(self.features, kernel=1, dtype=self.dtype)(x)
         k = self.n_parts + (1 if self.background else 0)
         # Logit head in f32: feeds softmaxes directly.
@@ -73,13 +75,14 @@ class AppearanceEncoder(nn.Module):
     depth: int = 4
     features: int = 128
     remat: bool = False
+    norm: str = "block"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         hg = nn.remat(Hourglass) if self.remat else Hourglass
-        x = _Stem(self.features, self.dtype)(x)
-        x = hg(self.depth, self.features, dtype=self.dtype)(x)
+        x = _Stem(self.features, self.dtype, self.norm)(x)
+        x = hg(self.depth, self.features, norm=self.norm, dtype=self.dtype)(x)
         x = ConvBlock(self.features, kernel=1, dtype=self.dtype)(x)
         return nn.Conv(
             self.out_features, (1, 1), dtype=self.dtype, param_dtype=jnp.float32

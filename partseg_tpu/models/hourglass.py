@@ -23,21 +23,22 @@ class Hourglass(nn.Module):
 
     depth: int = 4
     features: int = 128
+    norm: str = "block"          # ResBlock norm mode (perf knob)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        f, dt = self.features, self.dtype
+        f, dt, nm = self.features, self.dtype, self.norm
 
         def level(x: jax.Array, d: int) -> jax.Array:
-            up = ResBlock(f, dtype=dt)(x)
+            up = ResBlock(f, norm=nm, dtype=dt)(x)
             # nn.avg_pool beats a reshape-mean here (measured 815 vs 789
             # img/s/chip full-step — trace attribution of reduce_window
             # cost was misleading; XLA fuses it well in-graph).
             low = nn.avg_pool(x, (2, 2), strides=(2, 2))
-            low = ResBlock(f, dtype=dt)(low)
-            low = level(low, d - 1) if d > 1 else ResBlock(f, dtype=dt)(low)
-            low = ResBlock(f, dtype=dt)(low)
+            low = ResBlock(f, norm=nm, dtype=dt)(low)
+            low = level(low, d - 1) if d > 1 else ResBlock(f, norm=nm, dtype=dt)(low)
+            low = ResBlock(f, norm=nm, dtype=dt)(low)
             return up + upsample2x(low)
 
         return level(x, self.depth)

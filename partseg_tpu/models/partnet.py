@@ -60,6 +60,10 @@ class PartNetConfig:
     # (augment.warp_impl) and stays Pallas: XLA's gather is 3× slower.
     use_pallas: bool = False
     remat: bool = False              # rematerialize hourglasses (memory↓, FLOPs↑)
+    # ResBlock normalization: "block" (one GN per block, default),
+    # "group" (GN before every conv), "none" (perf probe — GN is a
+    # measurable share of the memory-bound step cost).
+    norm: str = "block"
     dtype: Any = jnp.bfloat16
 
     @property
@@ -89,16 +93,16 @@ class PartNet(nn.Module):
         self.shape_enc = ShapeEncoder(
             n_parts=c.n_parts, background=c.background, depth=c.depth,
             features=c.features, n_stacks=c.n_stacks, remat=c.remat,
-            dtype=c.dtype,
+            norm=c.norm, dtype=c.dtype,
         )
         self.app_enc = AppearanceEncoder(
             out_features=c.app_features, depth=c.depth,
-            features=c.features, remat=c.remat, dtype=c.dtype,
+            features=c.features, remat=c.remat, norm=c.norm, dtype=c.dtype,
         )
         self.decoder = Decoder(
             out_size=c.img_size, n_scales=c.decoder_scales,
             features=c.decoder_features, render_kernel=c.render_kernel,
-            use_pallas=c.use_pallas, dtype=c.dtype,
+            use_pallas=c.use_pallas, norm=c.norm, dtype=c.dtype,
         )
 
     # ------------------------------------------------------------- components

@@ -34,9 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(img_ref, crd_ref, out_ref, *, h, w, c, tile, with_grads):
-    # Continuous pixel-index coords for this tile.
-    fy = (crd_ref[0, :, 0] + 1.0) * (0.5 * h) - 0.5          # [T]
-    fx = (crd_ref[0, :, 1] + 1.0) * (0.5 * w) - 0.5
+    # Continuous pixel-index coords for this tile. crd_ref is [1, 2, T]
+    # — points on the LANE dim. (The obvious [B, N, 2] operand forces a
+    # lane-dim-2 layout on the custom call; XLA materialized it through
+    # a 21 GB/s pathological copy, 1.6 ms/step at B=128.)
+    fy = (crd_ref[0, 0, :] + 1.0) * (0.5 * h) - 0.5          # [T]
+    fx = (crd_ref[0, 1, :] + 1.0) * (0.5 * w) - 0.5
     y0 = jnp.floor(fy)
     x0 = jnp.floor(fx)
     wy = (fy - y0)[:, None]                                  # [T, 1]
@@ -78,7 +81,9 @@ def _kernel(img_ref, crd_ref, out_ref, *, h, w, c, tile, with_grads):
         )
         for ch in range(c):
             seg = rows[:, ch * w : (ch + 1) * w]             # [T, W]
-            out_ref[0, ch] = jnp.sum(w_x * seg, axis=1)
+            # Store in the output's dtype (bf16 for bf16 images): the
+            # [B, 8, N] result tensor and its transpose-out copy halve.
+            out_ref[0, ch] = jnp.sum(w_x * seg, axis=1).astype(out_ref.dtype)
     else:
         rows0 = jnp.dot(
             oh_y0.astype(mt), img_ref[0], preferred_element_type=jnp.float32
@@ -125,8 +130,14 @@ def _run_kernel(
     pad_n = _round_up(n, tile)
     if pad_n != n:
         coords = jnp.pad(coords, ((0, 0), (0, pad_n - n), (0, 0)))
+    # [B, 2, N]: a cheap explicit transpose into the natural layout the
+    # kernel wants (see _kernel's crd_ref comment).
+    crd = jnp.swapaxes(coords.astype(jnp.float32), 1, 2)
     n_rows = 3 * c if with_grads else c
     rows = _round_up(n_rows, 8)
+    # Primal output rides in the image's dtype; the grad variant stays
+    # f32 (its tap differences feed the backward contraction).
+    out_dtype = jnp.float32 if with_grads else mt
 
     out = pl.pallas_call(
         functools.partial(
@@ -136,14 +147,14 @@ def _run_kernel(
         in_specs=[
             pl.BlockSpec((1, h, c * w), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 2), lambda i, t: (i, t, 0),
+            pl.BlockSpec((1, 2, tile), lambda i, t: (i, 0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, rows, tile), lambda i, t: (i, 0, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, rows, pad_n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, rows, pad_n), out_dtype),
         interpret=interpret,
-    )(hcw, coords.astype(jnp.float32))
+    )(hcw, crd)
     return out[:, :n_rows, :n]
 
 

@@ -49,7 +49,8 @@ def main(steps: int = 800, base_dir: str = "logs/quality_study"):
             "equiv_last": syn["equiv_last"],
             "miou": seg["miou_trained"],
             "fg_iou": seg["fg_iou_trained"],
-            "ok": bool(syn["ok"] and seg["ok"]),
+            "learned": bool(syn["ok"]),
+            "seg_abs_pass": bool(seg["ok"]),
         }
 
     q, t = rows["quality"], rows["throughput"]
@@ -57,13 +58,18 @@ def main(steps: int = 800, base_dir: str = "logs/quality_study"):
         "steps": steps,
         "quality": q,
         "throughput": t,
-        # The gate: the throughput recipe must still LEARN (its own
-        # PASS) and stay within 2× of the quality recipe's landmark
-        # error at equal steps — loose by design: it trains with ~60%
-        # fewer FLOPs and would run ~2.5× more steps per wall-hour.
+        # The gate is RELATIVE (the study compares recipes; absolute
+        # bars belong to validate_synthetic/validate_segmentation):
+        # the throughput recipe must still learn (equivariance falls,
+        # landmarks beat random) and stay within 2× landmark error and
+        # 0.7× mIoU of the quality recipe at EQUAL steps — loose by
+        # design: it trains with ~60% fewer FLOPs, so per wall-hour it
+        # sees ~2.5× more steps. r2 @800 steps it actually WON on
+        # landmarks (0.597 vs 0.708 %-diag) and fg-IoU (0.174 vs 0.150).
         "gate_pass": bool(
-            t["ok"] and t["landmark_err_pct_diag"]
-            <= 2.0 * q["landmark_err_pct_diag"]
+            t["learned"]
+            and t["landmark_err_pct_diag"] <= 2.0 * q["landmark_err_pct_diag"]
+            and t["miou"] >= 0.7 * q["miou"]
         ),
     }
     print(json.dumps(result))

@@ -80,7 +80,7 @@ def print_trace_breakdown(trace_dir: str, n_steps: float) -> None:
         if ev.get("ph") == "M" and ev.get("name") == "thread_name":
             tid_names[(ev["pid"], ev["tid"])] = ev["args"].get("name", "")
 
-    agg = defaultdict(float)
+    agg = defaultdict(lambda: [0.0, 0.0, 0.0, ""])  # dur, bytes, flops, long
     cat = defaultdict(float)
     total = 0.0
     for ev in data["traceEvents"]:
@@ -89,28 +89,28 @@ def print_trace_breakdown(trace_dir: str, n_steps: float) -> None:
         if tid_names.get((ev["pid"], ev.get("tid"))) != "XLA Ops":
             continue
         name = ev.get("name", "?")
+        args = ev.get("args", {})
         dur = ev.get("dur", 0) / 1e3  # us -> ms
-        agg[name] += dur
+        a = agg[name]
+        a[0] += dur
+        a[1] += float(args.get("bytes_accessed", 0) or 0)
+        a[2] += float(args.get("model_flops", 0) or 0)
+        a[3] = args.get("long_name", "")[:180]
         total += dur
-        base = re.sub(r"[.\d]+$", "", name)
-        if "convolution" in name:
-            c = "convolution"
-        elif base.startswith("copy") or "transpose" in base:
-            c = "copy/transpose"
-        elif "dot" in base:
-            c = "dot"
-        elif "scatter" in base or "gather" in base or "dynamic" in base:
-            c = "gather/scatter"
-        else:
-            c = base
-        cat[c] += dur
+        # The profiler's own HLO category is the most faithful rollup.
+        cat[args.get("hlo_category", re.sub(r"[.\d]+$", "", name))] += dur
     print(f"total XLA-op time: {total:.1f} ms ({total/n_steps:.1f} ms/step)")
-    print("== categories ==")
+    print("== hlo categories ==")
     for name, dur in sorted(cat.items(), key=lambda kv: -kv[1])[:20]:
         print(f"{dur/n_steps:9.3f} ms/step {100*dur/total:5.1f}%  {name}")
-    print("== top individual ops ==")
-    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:30]:
-        print(f"{dur/n_steps:9.3f} ms/step {100*dur/total:5.1f}%  {name[:100]}")
+    print("== top individual ops (GB/s = HBM pressure, TF/s = MXU use) ==")
+    for name, (dur, byt, fl, long) in sorted(
+        agg.items(), key=lambda kv: -kv[1][0]
+    )[:30]:
+        gbs = byt / (dur * 1e6) if dur else 0.0        # bytes/ms → GB/s
+        tfs = fl / (dur * 1e9) if dur else 0.0         # flops/ms → TF/s
+        print(f"{dur/n_steps:9.3f} ms/step {100*dur/total:5.1f}% "
+              f"{gbs:6.0f} GB/s {tfs:6.1f} TF/s  {name[:36]:36s} {long[:90]}")
 
 
 if __name__ == "__main__":
