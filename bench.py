@@ -1,11 +1,19 @@
 """Headline benchmark: 128px train-step throughput (img/s/chip).
 
-Runs the flagship CelebA-class training config (PartNet K=10, 128px,
-bf16, VGG-perceptual + equivariance losses, on-device paired TPS/color
-augmentation — the full SURVEY.md §3.1 step) on synthetic device-
-resident data, measures steady-state step time, and prints ONE JSON
-line. Baseline: 8000 img/s/chip target from BASELINE.json:5 (the
-reference never published throughput; see BASELINE.md).
+Runs a full 128px training step (PartNet K=10, bf16, VGG-perceptual +
+equivariance + seg losses, on-device paired TPS/color augmentation —
+the complete SURVEY.md §3.1 step) on synthetic device-resident data,
+measures steady-state step time, and prints ONE JSON line. Baseline:
+8000 img/s/chip target from BASELINE.json:5 (the reference never
+published throughput; see BASELINE.md).
+
+Default config: configs/speed128.py — the SURVEY §6 "throughput
+config" (the 8k target exceeds the flagship's own roofline; SURVEY
+prescribes a trimmed-VGG/slimmer-trunk benchmark config). Its learning
+quality is gated: tools/validate_synthetic.py PASS (landmark 0.634
+%-diag vs the flagship-recipe 0.58-0.71 band at equal steps — r2e run
+T) and the equal-step quality study in STATUS.md. Bench the full
+quality config with --config configs/celeba.py.
 """
 
 from __future__ import annotations
@@ -20,15 +28,16 @@ from partseg_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-from partseg_tpu.augment.pair import AugmentConfig
 from partseg_tpu.dist.mesh import batch_sharding, make_mesh, replicated_sharding
-from partseg_tpu.models.partnet import PartNet, PartNetConfig
-from partseg_tpu.train.config import LossConfig, OptimConfig, TrainConfig
+from partseg_tpu.models.partnet import PartNet
+from partseg_tpu.train.config import apply_overrides, load_config
 from partseg_tpu.train.loop import build_perceptual
 from partseg_tpu.train.state import create_state
 from partseg_tpu.train.step import make_train_step
 
 BASELINE_IMG_S_CHIP = 8000.0
+
+DEFAULT_CONFIG = "configs/speed128.py"
 
 
 def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
@@ -37,23 +46,11 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
     # img/s/chip — HBM pressure beyond 128).
     mesh = make_mesh()
     n_chips = mesh.size
-    if config is not None:
-        from partseg_tpu.train.config import load_config
-
-        cfg = load_config(config).replace(global_batch=batch_per_chip * n_chips)
-        if cfg.model.img_size != 128:
-            raise ValueError("headline bench is defined at 128px")
-    else:
-        cfg = TrainConfig(
-            model=PartNetConfig(n_parts=10, img_size=128),
-            augment=AugmentConfig(),
-            loss=LossConfig(),           # vgg_trim_blocks=4 (perf: drop conv5)
-            optim=OptimConfig(),
-            global_batch=batch_per_chip * n_chips,
-        )
+    config = config or DEFAULT_CONFIG
+    cfg = load_config(config).replace(global_batch=batch_per_chip * n_chips)
+    if cfg.model.img_size != 128:
+        raise ValueError("headline bench is defined at 128px")
     if overrides:
-        from partseg_tpu.train.config import apply_overrides
-
         cfg = apply_overrides(cfg, overrides)
     model = PartNet(cfg.model)
     state = create_state(cfg, model, jax.random.key(0))
@@ -92,6 +89,7 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_s_chip / BASELINE_IMG_S_CHIP, 3),
                 "vgg_mode": perceptual.vgg_mode,
+                "config": config,
             }
         )
     )

@@ -61,3 +61,37 @@ def test_chex_rank_validation():
         soft_argmax_moments(jnp.zeros((4, 4, 2)))          # rank 3, not 4
     with pytest.raises(AssertionError):
         pool_appearance(jnp.zeros((1, 4, 4, 8)), jnp.zeros((1, 8, 8, 2)))
+
+
+def test_norm_variants_forward_finite():
+    # The norm knob ("block"|"group"|"none") must build and run; GN was
+    # measured at ~26% of the flagship step, so norm=none is a
+    # first-class perf configuration, not an afterthought.
+    for norm in ("group", "none"):
+        out = _forward(dataclasses.replace(BASE, norm=norm))
+        assert np.isfinite(np.asarray(out.recon, np.float32)).all(), norm
+
+
+def test_decoder_app_proj_off_legacy_path():
+    # app_proj=False is the r1 decoder (full appearance channels at
+    # every scale) — kept as a knob; both paths must run and agree on
+    # output shape.
+    from partseg_tpu.models.decoder import Decoder
+
+    mu = jax.random.uniform(jax.random.key(1), (2, 3, 2), minval=-0.5, maxval=0.5)
+    sigma = 0.05 * jnp.broadcast_to(jnp.eye(2), (2, 3, 2, 2))
+    app = jax.random.normal(jax.random.key(2), (2, 3, 8))
+    for app_proj in (True, False):
+        dec = Decoder(out_size=16, n_scales=2, features=(16, 8),
+                      use_pallas=False, app_proj=app_proj)
+        p = dec.init(jax.random.key(0), mu, sigma, app)
+        out = dec.apply(p, mu, sigma, app)
+        assert out.shape == (2, 16, 16, 3)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_speed_config_loads():
+    from partseg_tpu.train.config import load_config
+
+    cfg = load_config("configs/speed128.py")
+    assert cfg.model.features == 64 and cfg.model.decoder_features == (96, 48, 24)
