@@ -97,6 +97,8 @@ class TPSSampler:
         self._ctrl = jnp.asarray(ctrl, jnp.float32)                  # [n, 2]
         self._l_inv = jnp.asarray(np.linalg.inv(L), jnp.float32)     # [n+3, n+3]
         self.n_ctrl = n
+        self._ctrl_np = ctrl.astype(np.float32)
+        self._basis_cache: dict[tuple[int, int], np.ndarray] = {}
 
     # ---------------------------------------------------------------- sampling
 
@@ -184,6 +186,28 @@ class TPSSampler:
         j_aff = jnp.swapaxes(a_mat, -1, -2)                          # [a, b] = A[b_row, a_col]ᵀ
         return j_aff[..., None, :, :] + j_rad
 
+    def flow_basis(self, h: int, w: int) -> jax.Array:
+        """STATIC pixel-grid basis Φ_grid [H*W, n+3] (numpy-cached —
+        never cache jnp under jit, CLAUDE.md). `Φ_grid @ weights` IS
+        the dense flow; the fused TPS-warp kernel consumes this
+        directly so the flow never materializes in HBM."""
+        key = (h, w)
+        if key not in self._basis_cache:
+            from partseg_tpu.partops.coords import _coord_grid_cached
+
+            yy, xx = _coord_grid_cached(h, w)
+            grid = np.stack([yy.reshape(-1), xx.reshape(-1)], -1)   # [HW, 2]
+            d2 = np.sum(
+                (grid[:, None, :] - self._ctrl_np[None, :, :]) ** 2, axis=-1
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = np.where(d2 > 1e-9, d2 * np.log(d2), 0.0)
+            ones = np.ones((grid.shape[0], 1), np.float32)
+            self._basis_cache[key] = np.concatenate(
+                [u, ones, grid], axis=-1
+            ).astype(np.float32)
+        return jnp.asarray(self._basis_cache[key])
+
     def flow_field(self, params: TPSParams, h: int, w: int) -> jax.Array:
         """Dense backward flow: source coords T(u) for every output pixel.
 
@@ -207,9 +231,22 @@ class TPSSampler:
         padding_mode: str = "border",
         impl: str = "auto",
     ) -> jax.Array:
-        """Warp a batch of images [B, H, W, C] with per-sample params."""
+        """Warp a batch of images [B, H, W, C] with per-sample params.
+
+        On TPU with border padding this takes the fully-fused path:
+        flow evaluation AND bilinear sampling in one Pallas kernel
+        (partops/pallas/bilinear_warp.tps_warp_fused) — the dense flow
+        never exists in HBM. Other modes build the explicit flow."""
         from partseg_tpu.partops.warp import warp_image
 
         b, h, w, _ = image.shape
+        if impl == "auto":
+            impl = "fused" if jax.default_backend() == "tpu" else "gather"
+        if impl == "fused" and padding_mode == "border":
+            from partseg_tpu.partops.pallas import tps_warp_fused
+
+            return tps_warp_fused(
+                image, params.weights, self.flow_basis(h, w)
+            )
         flow = self.flow_field(params, h, w)
         return warp_image(image, flow, padding_mode=padding_mode, impl=impl)

@@ -22,11 +22,15 @@ def use_interpret() -> bool:
 
 from partseg_tpu.partops.pallas.render_assemble import render_assemble
 from partseg_tpu.partops.pallas.softmax_moments import softmax_moments
-from partseg_tpu.partops.pallas.bilinear_warp import bilinear_sample_fused
+from partseg_tpu.partops.pallas.bilinear_warp import (
+    bilinear_sample_fused,
+    tps_warp_fused,
+)
 
 __all__ = [
     "render_assemble",
     "softmax_moments",
     "bilinear_sample_fused",
+    "tps_warp_fused",
     "use_interpret",
 ]

@@ -34,12 +34,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(img_ref, crd_ref, out_ref, *, h, w, c, tile, with_grads):
-    # Continuous pixel-index coords for this tile. crd_ref is [1, 2, T]
-    # — points on the LANE dim. (The obvious [B, N, 2] operand forces a
-    # lane-dim-2 layout on the custom call; XLA materialized it through
-    # a 21 GB/s pathological copy, 1.6 ms/step at B=128.)
-    fy = (crd_ref[0, 0, :] + 1.0) * (0.5 * h) - 0.5          # [T]
-    fx = (crd_ref[0, 1, :] + 1.0) * (0.5 * w) - 0.5
+    # Continuous pixel-index coords for this tile, [1, T, 2] — points
+    # on SUBLANES. Measured tradeoff (r2, B=128): this operand layout
+    # makes XLA feed the custom call through a pathological 21 GB/s
+    # copy (~1.6 ms), but the [B, 2, N] points-on-LANES alternative was
+    # WORSE: the kernel then needs lane→sublane broadcasts of fy/fx
+    # against the [T, H] iota and the custom call went 4.7 → 8.2 ms.
+    # Net: keep sublane-oriented points (4.7 + 1.6 < 8.2). The
+    # TRAINING path avoids the coords operand entirely — see
+    # _kernel_tps, which evaluates the TPS flow in-kernel.
+    fy = (crd_ref[0, :, 0] + 1.0) * (0.5 * h) - 0.5          # [T]
+    fx = (crd_ref[0, :, 1] + 1.0) * (0.5 * w) - 0.5
+    _interp_body(img_ref, out_ref, fy, fx, h=h, w=w, c=c, tile=tile,
+                 with_grads=with_grads)
+
+
+def _kernel_tps(img_ref, basis_ref, w_ref, out_ref, *, h, w, c, tile):
+    """Fused TPS flow + bilinear sample (the training hot path).
+
+    The flow is Φ_grid @ weights with a STATIC pixel basis (augment/
+    tps.py), so instead of shipping a dense [B, N, 2] coords tensor
+    (16 MB + a 21 GB/s layout copy at B=128), each program evaluates
+    its own tile's coords with one tiny [T, M] @ [M, 2] matmul from a
+    shared basis block and the per-sample spline weights (~1 KB).
+    """
+    crd = jnp.dot(
+        basis_ref[...], w_ref[0], preferred_element_type=jnp.float32
+    )                                                        # [T, 2]
+    fy = (crd[:, 0] + 1.0) * (0.5 * h) - 0.5                 # [T]
+    fx = (crd[:, 1] + 1.0) * (0.5 * w) - 0.5
+    _interp_body(img_ref, out_ref, fy, fx, h=h, w=w, c=c, tile=tile,
+                 with_grads=False)
+
+
+def _interp_body(img_ref, out_ref, fy, fx, *, h, w, c, tile, with_grads):
     y0 = jnp.floor(fy)
     x0 = jnp.floor(fx)
     wy = (fy - y0)[:, None]                                  # [T, 1]
@@ -130,9 +158,7 @@ def _run_kernel(
     pad_n = _round_up(n, tile)
     if pad_n != n:
         coords = jnp.pad(coords, ((0, 0), (0, pad_n - n), (0, 0)))
-    # [B, 2, N]: a cheap explicit transpose into the natural layout the
-    # kernel wants (see _kernel's crd_ref comment).
-    crd = jnp.swapaxes(coords.astype(jnp.float32), 1, 2)
+    crd = coords.astype(jnp.float32)
     n_rows = 3 * c if with_grads else c
     rows = _round_up(n_rows, 8)
     # Primal output rides in the image's dtype; the grad variant stays
@@ -147,7 +173,7 @@ def _run_kernel(
         in_specs=[
             pl.BlockSpec((1, h, c * w), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, tile), lambda i, t: (i, 0, t),
+            pl.BlockSpec((1, tile, 2), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, rows, tile), lambda i, t: (i, 0, t),
@@ -229,3 +255,100 @@ def _bwd(interpret, res, g):
 
 
 bilinear_sample_fused.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------- fused TPS warp
+
+
+def _run_tps_kernel(image, weights, basis, interpret):
+    """image [B,H,W,C], weights [B,M,2], basis [N,M] (N=H*W, static) →
+    [B, C_pad_rows, N] sampled values (primal only)."""
+    b, h, w, c = image.shape
+    mt = image.dtype if image.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    hcw = jnp.transpose(image, (0, 1, 3, 2)).reshape(b, h, c * w).astype(mt)
+
+    n, m = basis.shape
+    tile = min(2048, _round_up(n, 128))
+    pad_n = _round_up(n, tile)
+    m_pad = _round_up(m, 128)
+    # Zero-padded basis columns × zero-padded weight rows change nothing;
+    # padded POINT rows produce garbage coords that are sliced away.
+    basis_p = jnp.zeros((pad_n, m_pad), jnp.float32)
+    basis_p = basis_p.at[:n, :m].set(basis.astype(jnp.float32))
+    w_p = jnp.zeros((b, m_pad, 2), jnp.float32)
+    w_p = w_p.at[:, :m].set(weights.astype(jnp.float32))
+
+    rows = _round_up(c, 8)
+    out = pl.pallas_call(
+        functools.partial(_kernel_tps, h=h, w=w, c=c, tile=tile),
+        grid=(b, pad_n // tile),
+        in_specs=[
+            pl.BlockSpec((1, h, c * w), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, m_pad), lambda i, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, 2), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, tile), lambda i, t: (i, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, rows, pad_n), mt),
+        interpret=interpret,
+    )(hcw, basis_p, w_p)
+    return out[:, :c, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def tps_warp_fused(
+    image: jax.Array,
+    weights: jax.Array,
+    basis: jax.Array,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Warp an image batch with TPS spline weights in ONE fused kernel.
+
+    image [B, H, W, C]; weights [B, M, 2] (augment.tps.TPSParams rows);
+    basis [H*W, M] — the static Φ_grid = [U(‖u−cᵢ‖), 1, y, x] pixel
+    basis (TPSSampler.flow_basis). Returns [B, H, W, C].
+
+    The coords never exist as an HBM tensor: each kernel program
+    derives its tile's flow from the basis block + weights. Gradients
+    (rarely needed — training stop-grads augmentation) fall back to
+    the explicit flow + bilinear_sample_fused path.
+    """
+    interpret = _resolve_interpret(interpret)
+    b, h, w, c = image.shape
+    packed = _run_tps_kernel(image, weights, basis, interpret)
+    return (
+        jnp.transpose(packed, (0, 2, 1))
+        .reshape(b, h, w, c)
+        .astype(image.dtype)
+    )
+
+
+def _tps_flow(weights, basis):
+    return jnp.einsum(
+        "nm,bmk->bnk", basis, weights, preferred_element_type=jnp.float32
+    )
+
+
+def _tps_fwd(image, weights, basis, interpret):
+    return tps_warp_fused(image, weights, basis, interpret), (image, weights, basis)
+
+
+def _tps_bwd(interpret, res, g):
+    image, weights, basis = res
+    b, h, w, c = image.shape
+
+    def ref(img, wts):
+        coords = _tps_flow(wts, basis)
+        return bilinear_sample_fused(img, coords, interpret).reshape(
+            b, h, w, c
+        )
+
+    _, vjp = jax.vjp(ref, image, weights)
+    d_image, d_weights = vjp(g)
+    return d_image, d_weights, None
+
+
+tps_warp_fused.defvjp(_tps_fwd, _tps_bwd)

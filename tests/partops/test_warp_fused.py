@@ -76,3 +76,46 @@ def test_fused_bf16_fast_path_close_to_f32():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want), atol=2e-2
     )
+
+
+def test_tps_warp_fused_matches_flow_path():
+    # The fully-fused TPS warp (flow evaluated IN-kernel from the
+    # static basis + spline weights) must equal building the dense flow
+    # and sampling it.
+    from partseg_tpu.augment.tps import TPSSampler
+    from partseg_tpu.partops.pallas import tps_warp_fused
+
+    sampler = TPSSampler(grid_size=4)
+    img = jax.random.uniform(jax.random.key(6), (2, 16, 24, 3))
+    params = sampler.sample(jax.random.key(7), 2)
+    want = sampler.warp(params, img, impl="gather")
+    got = tps_warp_fused(img, params.weights, sampler.flow_basis(16, 24))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_tps_warp_fused_grads():
+    # Gradients route through the explicit-flow fallback; they must be
+    # finite and match differentiating the flow path directly.
+    from partseg_tpu.augment.tps import TPSSampler
+    from partseg_tpu.partops.pallas import tps_warp_fused
+
+    sampler = TPSSampler(grid_size=3)
+    img = jax.random.uniform(jax.random.key(8), (1, 12, 12, 2))
+    params = sampler.sample(jax.random.key(9), 1)
+    basis = sampler.flow_basis(12, 12)
+
+    g1 = jax.grad(
+        lambda im, wt: jnp.sum(tps_warp_fused(im, wt, basis) ** 2),
+        argnums=(0, 1),
+    )(img, params.weights)
+    g2 = jax.grad(
+        lambda im, wt: jnp.sum(
+            sampler.warp(
+                type(params)(weights=wt), im, impl="gather"
+            ).astype(jnp.float32) ** 2
+        ),
+        argnums=(0, 1),
+    )(img, params.weights)
+    for a, b in zip(g1, g2):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
