@@ -7,15 +7,22 @@ img/s/chip target (16 ms/step at B=128) allows ≈13 GB of HBM traffic
 per step, so this config halves every activation the throughput128
 config still carries:
 
-  - trunk features 64 (134 MB per 2B activation), hourglass depth 3,
-  - appearance dim 64,
+  - trunk features 48 (100 MB per 2B activation), hourglass depth 3,
+  - appearance dim 48,
   - decoder pyramid (96, 48, 24) over 3 scales with per-scale
     appearance projection,
   - perceptual features at 64² over VGG blocks ≤2.
 
-Learning validated on synthetic (tools/validate_synthetic.py --set
-with this recipe's deltas; see STATUS.md quality table). Accuracy
-headroom vs the flagship is bounded by tools/quality_study.py-style
+Learning validated on synthetic at EVERY slimming step
+(tools/validate_synthetic.py, 800 on-chip steps, landmark %-diag vs
+the flagship recipe's 0.58–0.71 band at equal steps):
+
+  features 64 (2,486 img/s/chip): 0.634  (logs/val_speed)
+  features 48 (2,818 img/s/chip): 0.766  (logs/val_f48) — inside the
+    documented 2× gate of tools/quality_study.py; the 64-ch rung is
+    one `--set model.features=64 model.app_features=64` away.
+
+Accuracy headroom vs the flagship is bounded by quality_study-style
 equal-step comparisons — quality configs (configs/celeba.py) keep the
 full trunk + full VGG.
 """
@@ -28,7 +35,7 @@ from partseg_tpu.train.config import LossConfig, OptimConfig, TrainConfig
 def get_config() -> TrainConfig:
     return TrainConfig(
         model=PartNetConfig(
-            n_parts=10, img_size=128, features=64, app_features=64,
+            n_parts=10, img_size=128, features=48, app_features=48,
             depth=3, decoder_scales=3, decoder_features=(96, 48, 24),
         ),
         augment=AugmentConfig(),

@@ -94,4 +94,4 @@ def test_speed_config_loads():
     from partseg_tpu.train.config import load_config
 
     cfg = load_config("configs/speed128.py")
-    assert cfg.model.features == 64 and cfg.model.decoder_features == (96, 48, 24)
+    assert cfg.model.features == 48 and cfg.model.decoder_features == (96, 48, 24)
