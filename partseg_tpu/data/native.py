@@ -156,41 +156,48 @@ def native_loader(
 ) -> Iterator[dict]:
     """Infinite batched iterator over an ImageListDataset using the
     native pool (images only; landmark-annotated eval splits should use
-    the Grain path). `start_batch` seeks without decoding: full skipped
-    epochs burn one rng permutation each, the partial epoch skips
-    in-index — the resumed sequence exactly matches an uninterrupted
-    run (SURVEY.md §5.4).
+    the Grain path).
+
+    Batch numbering matches the Grain path exactly (VERDICT r2 weak
+    #6): batches are cut from the CONTINUOUS repeated stream, so on a
+    non-divisible shard the epoch remainder carries into the next
+    batch instead of being dropped — batch #N always covers stream
+    positions [N·bs, (N+1)·bs), the same arithmetic grain's
+    repeat-then-batch uses. `start_batch` therefore seeks without
+    decoding: burn one rng permutation per crossed epoch boundary,
+    then offset into the current one — the resumed sequence exactly
+    matches an uninterrupted run (SURVEY.md §5.4).
 
     out_dtype defaults to "u8": the train step normalizes uint8 batches
     on-device, so the host→device transfer is 4× smaller than f32."""
     paths = list(dataset.paths)
     bboxes = list(dataset.bboxes) if getattr(dataset, "bboxes", None) else None
     idxs = np.arange(len(paths))[process_index::process_count]
-    n_per_epoch = len(idxs) // batch_size
-    if n_per_epoch == 0:
-        raise ValueError(
-            f"batch_size {batch_size} exceeds shard size {len(idxs)}"
-        )
+    n_shard = len(idxs)
+    if n_shard == 0:
+        raise ValueError("empty shard: no examples for this process")
     rng = np.random.default_rng(seed)
     pool = NativePool(dataset.size, n_threads=num_threads,
                       capacity=2 * batch_size)
-    skip = start_batch
+    pos = start_batch * batch_size          # global stream position
+    for _ in range(pos // n_shard):         # O(1)-per-epoch seek
+        if shuffle:
+            rng.permutation(idxs)
+    order = rng.permutation(idxs) if shuffle else idxs
+    offset = pos % n_shard
     while True:
-        order = rng.permutation(idxs) if shuffle else idxs
-        if skip >= n_per_epoch:
-            skip -= n_per_epoch
-            continue
-        for bi, start in enumerate(
-            range(0, len(order) - batch_size + 1, batch_size)
-        ):
-            if bi < skip:
-                continue
-            sel = order[start : start + batch_size]
-            yield {
-                "image": pool.load_batch(
-                    [paths[i] for i in sel],
-                    [bboxes[i] for i in sel] if bboxes else None,
-                    dtype=out_dtype,
-                )
-            }
-        skip = 0
+        sel = []
+        while len(sel) < batch_size:
+            take = min(batch_size - len(sel), n_shard - offset)
+            sel.extend(order[offset : offset + take])
+            offset += take
+            if offset == n_shard:
+                order = rng.permutation(idxs) if shuffle else idxs
+                offset = 0
+        yield {
+            "image": pool.load_batch(
+                [paths[i] for i in sel],
+                [bboxes[i] for i in sel] if bboxes else None,
+                dtype=out_dtype,
+            )
+        }

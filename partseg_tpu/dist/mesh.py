@@ -34,6 +34,18 @@ def make_mesh(devices: Any | None = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(devs.reshape(-1), (axis,))
 
 
+def make_spatial_mesh(space_shards: int, devices: Any | None = None) -> Mesh:
+    """2-D ("data", "space") mesh for spatially-sharded training
+    (parallel/spatial_train.py): image rows shard over the FASTEST
+    ("space") axis so halo ppermutes ride neighboring ICI links."""
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    if devs.size % space_shards:
+        raise ValueError(
+            f"{devs.size} devices not divisible by space_shards={space_shards}"
+        )
+    return Mesh(devs.reshape(-1, space_shards), (DATA_AXIS, "space"))
+
+
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(axis))

@@ -90,16 +90,26 @@ def evaluate_segmentation(
         pad_to = pad_to or n
         seg = np.asarray(forward(params, pad_batch(img, pad_to)))[:n]
         gt = np.asarray(batch["mask"])
-        if gt.shape[1] != seg.shape[1]:     # upsample predictions to label res
-            f = gt.shape[1] // seg.shape[1]
-            assert seg.shape[1] * f == gt.shape[1], (seg.shape, gt.shape)
-            seg = seg.repeat(f, axis=1).repeat(f, axis=2)
+        if gt.shape[1:] != seg.shape[1:]:   # resample predictions to label res
+            seg = nn_resize_labels(seg, gt.shape[1], gt.shape[2])
         preds.append(seg)
         gts.append(gt)
     pred = np.concatenate(preds)
     gt = np.concatenate(gts)
     mapping = match_parts_to_classes(pred, gt, model.cfg.n_parts, n_classes)
     return segmentation_iou(mapping[pred], gt, n_classes)
+
+
+def nn_resize_labels(seg: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of integer label maps [N, h, w] → [N, out_h,
+    out_w], pixel-center convention (align_corners=False — matches
+    partops/coords.py). Handles ARBITRARY ratios, not just integer
+    upsampling: real annotation sets ship e.g. 100px masks against 64px
+    logits (VERDICT r2 weak #4)."""
+    n, h, w = seg.shape
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return seg[:, ys[:, None], xs[None, :]]
 
 
 def match_parts_to_classes(

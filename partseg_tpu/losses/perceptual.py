@@ -58,15 +58,19 @@ class PerceptualLoss:
         # lets XLA prune the whole backward for the target half instead
         # of back-propagating zeros through a 2B-batch VGG.
         vh, vt = x_hat, x.astype(x_hat.dtype)
-        r = self.feature_resolution
-        if r is not None and r < x_hat.shape[1]:
+        # x_hat may be SMALLER than x (decoder_out_size < img_size: the
+        # reconstruction is decoded straight at the loss resolution) —
+        # pool each input independently down to the common feature res.
+        r = self.feature_resolution or x_hat.shape[1]
+        r = min(r, x_hat.shape[1])
+        if x_hat.shape[1] > r:
             # Average-pool in the VGG's compute dtype via reshape-mean:
             # the f32 reduce_window forms traced at 2.8-2.9 ms EACH on
             # [256,128²,3] (r2 throughput trace); the VGG consumes
             # self.dtype anyway so nothing is lost pooling in it.
-            k = x_hat.shape[1] // r
-            vh = _pool_mean(vh.astype(self.model.dtype), k)
-            vt = _pool_mean(vt.astype(self.model.dtype), k)
+            vh = _pool_mean(vh.astype(self.model.dtype), x_hat.shape[1] // r)
+        if x.shape[1] > r:
+            vt = _pool_mean(vt.astype(self.model.dtype), x.shape[1] // r)
         feats_hat = self.model.apply(self.params, vh)
         feats_tgt = jax.lax.stop_gradient(self.model.apply(self.params, vt))
         loss = jnp.float32(0.0)
@@ -81,7 +85,12 @@ class PerceptualLoss:
             )
             loss = loss + w * diff
         if self.pixel_weight:
+            xp = x
+            if x.shape[1] > x_hat.shape[1]:   # compare at the recon res
+                xp = _pool_mean(
+                    x.astype(jnp.float32), x.shape[1] // x_hat.shape[1]
+                )
             loss = loss + self.pixel_weight * jnp.mean(
-                jnp.abs(x_hat.astype(jnp.float32) - x.astype(jnp.float32))
+                jnp.abs(x_hat.astype(jnp.float32) - xp.astype(jnp.float32))
             )
         return loss

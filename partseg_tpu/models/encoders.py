@@ -18,26 +18,30 @@ from partseg_tpu.models.hourglass import Hourglass
 
 
 class _Stem(nn.Module):
-    """Space-to-depth stem: [B, H, W, 3] → [B, H/2, W/2, F].
+    """Space-to-depth stem: [B, H, W, 3] → [B, H/s, W/s, F].
 
-    A 2×2 space-to-depth (3 → 12 channels) followed by a 3×3 conv
+    An s×s space-to-depth (3 → 3s² channels) followed by a 3×3 conv
     replaces the classic 7×7/2 conv: a stride-2 conv on a 3-channel
     NHWC tensor runs at 3/128 lane utilization on the MXU, while the
     12-channel stride-1 form does the same receptive-field work on a
-    4× smaller spatial grid with 4× the channels.
+    4× smaller spatial grid with 4× the channels. stride=4 is the
+    bandwidth-roofline knob: the whole trunk then runs at img/4
+    resolution, quartering its HBM bytes (quality-gated in configs).
     """
 
     features: int
     dtype: Any
     norm: str = "block"
+    stride: int = 2
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         # 6-D reshape/transpose space-to-depth. (A strided-slice+concat
         # variant measured SLOWER full-step: 789 vs 815 img/s/chip.)
         b, h, w, c = x.shape
-        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        s = self.stride
+        x = x.reshape(b, h // s, s, w // s, s, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // s, w // s, s * s * c)
         x = nn.Conv(
             self.features // 2, (3, 3), dtype=self.dtype, param_dtype=jnp.float32
         )(x)
@@ -45,7 +49,7 @@ class _Stem(nn.Module):
 
 
 class ShapeEncoder(nn.Module):
-    """x → part logits [B, H/2, W/2, K(+1 bg)]."""
+    """x → part logits [B, H/stem_stride, W/stem_stride, K(+1 bg)]."""
 
     n_parts: int = 10
     background: bool = True
@@ -54,12 +58,13 @@ class ShapeEncoder(nn.Module):
     n_stacks: int = 1
     remat: bool = False
     norm: str = "block"
+    stem_stride: int = 2
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         hg = nn.remat(Hourglass) if self.remat else Hourglass
-        x = _Stem(self.features, self.dtype, self.norm)(x)
+        x = _Stem(self.features, self.dtype, self.norm, self.stem_stride)(x)
         for _ in range(self.n_stacks):
             x = hg(self.depth, self.features, norm=self.norm, dtype=self.dtype)(x)
         x = ConvBlock(self.features, kernel=1, dtype=self.dtype)(x)
@@ -69,19 +74,20 @@ class ShapeEncoder(nn.Module):
 
 
 class AppearanceEncoder(nn.Module):
-    """x → appearance features [B, H/2, W/2, C]."""
+    """x → appearance features [B, H/stem_stride, W/stem_stride, C]."""
 
     out_features: int = 128
     depth: int = 4
     features: int = 128
     remat: bool = False
     norm: str = "block"
+    stem_stride: int = 2
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         hg = nn.remat(Hourglass) if self.remat else Hourglass
-        x = _Stem(self.features, self.dtype, self.norm)(x)
+        x = _Stem(self.features, self.dtype, self.norm, self.stem_stride)(x)
         x = hg(self.depth, self.features, norm=self.norm, dtype=self.dtype)(x)
         x = ConvBlock(self.features, kernel=1, dtype=self.dtype)(x)
         return nn.Conv(

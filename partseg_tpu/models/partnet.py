@@ -41,8 +41,21 @@ class PartNetConfig:
     depth: int = 4                   # hourglass depth (map_size / 2**depth ≥ 1)
     n_stacks: int = 1                # stacked hourglasses in the shape encoder
     app_features: int = 128          # appearance vector dim C
+    # Stem space-to-depth factor: the whole trunk runs at img_size /
+    # stem_stride. 4 quarters the trunk's HBM bytes vs 2 (the step is
+    # bandwidth-bound) at the cost of coarser part maps — quality-gated
+    # per config (tools/validate_synthetic.py).
+    stem_stride: int = 2
     decoder_scales: int = 4
     decoder_features: Any = (256, 128, 64, 32)  # channel pyramid coarse→fine
+    # Reconstruction resolution. None = img_size. When the perceptual
+    # loss consumes vgg_resolution=64 features anyway, decoding at 64
+    # deletes the decoder's full-res scale — the single largest HBM
+    # object family in the r3 trace ([B,128,128,72] concat + ResBlocks).
+    # The decoder is fully convolutional: the SAME params decode at any
+    # out_size, so inference can rebuild with decoder_out_size=None for
+    # full-res reconstructions from a 64-trained checkpoint.
+    decoder_out_size: Any = None
     render_kernel: str = "gauss"     # "gauss" | "heavy_tail" (§7.4 risk 1 knob)
     spatial_norm: str = "softmax"    # "softmax" | "divide" (§7.4 risk 1 knob)
     # Appearance-pooling masks: "pixel" = per-pixel part softmax
@@ -68,7 +81,7 @@ class PartNetConfig:
 
     @property
     def map_size(self) -> int:
-        return self.img_size // 2    # encoders emit at stride 2 (stem)
+        return self.img_size // self.stem_stride   # encoders emit at stem stride
 
 
 class PartNetOutputs(flax.struct.PyTreeNode):
@@ -93,14 +106,15 @@ class PartNet(nn.Module):
         self.shape_enc = ShapeEncoder(
             n_parts=c.n_parts, background=c.background, depth=c.depth,
             features=c.features, n_stacks=c.n_stacks, remat=c.remat,
-            norm=c.norm, dtype=c.dtype,
+            norm=c.norm, stem_stride=c.stem_stride, dtype=c.dtype,
         )
         self.app_enc = AppearanceEncoder(
             out_features=c.app_features, depth=c.depth,
-            features=c.features, remat=c.remat, norm=c.norm, dtype=c.dtype,
+            features=c.features, remat=c.remat, norm=c.norm,
+            stem_stride=c.stem_stride, dtype=c.dtype,
         )
         self.decoder = Decoder(
-            out_size=c.img_size, n_scales=c.decoder_scales,
+            out_size=c.decoder_out_size or c.img_size, n_scales=c.decoder_scales,
             features=c.decoder_features, render_kernel=c.render_kernel,
             use_pallas=c.use_pallas, norm=c.norm, dtype=c.dtype,
         )

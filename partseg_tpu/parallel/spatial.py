@@ -24,6 +24,8 @@ matching XLA SAME padding).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -36,6 +38,25 @@ SPACE_AXIS = "space"
 def _axis_size(axis_name: str) -> int:
     """Static size of a shard_map mesh axis."""
     return jax.lax.axis_size(axis_name)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _pmax_stopgrad(x: jax.Array, axis_name: str) -> jax.Array:
+    """pmax with defined (zero) gradient: used for softmax stabilizers,
+    which are shift-invariant constants — jax has no pmax diff rule, and
+    stop_gradient alone does not spare the primitive from JVP tracing."""
+    return jax.lax.pmax(x, axis_name)
+
+
+def _pmax_fwd(x, axis_name):
+    return jax.lax.pmax(x, axis_name), None
+
+
+def _pmax_bwd(axis_name, _res, g):
+    return (jnp.zeros_like(g),)
+
+
+_pmax_stopgrad.defvjp(_pmax_fwd, _pmax_bwd)
 
 
 def _row_offset(h_local: int, axis_name: str):
@@ -96,7 +117,9 @@ def sharded_spatial_softmax(
     """
     x = logits.astype(jnp.float32)
     m = jnp.max(x, axis=(1, 2), keepdims=True)
-    m = jax.lax.pmax(m, axis_name)
+    # Custom-vjp pmax with zero gradient: softmax is shift-invariant,
+    # so the stabilizer carries no gradient (jax has no pmax diff rule).
+    m = _pmax_stopgrad(jax.lax.stop_gradient(m), axis_name)
     e = jnp.exp(x - m)
     s = jax.lax.psum(jnp.sum(e, axis=(1, 2), keepdims=True), axis_name)
     return e / s

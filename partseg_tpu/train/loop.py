@@ -59,10 +59,15 @@ def build_step_fn(cfg, model, sampler, perceptual, mesh):
 
     Multi-device: shard_map with explicit pmean — required so Pallas
     kernels stay shard-local (pjit auto-sharding can't partition custom
-    calls). Single device: plain jit.
+    calls). Single device: plain jit. A ("data", "space") mesh routes
+    to the spatially-sharded step (parallel/spatial_train.py).
     """
     from jax.sharding import PartitionSpec as P
 
+    if "space" in mesh.axis_names:
+        from partseg_tpu.parallel.spatial_train import build_spatial_step_fn
+
+        return build_spatial_step_fn(cfg, sampler, perceptual, mesh)
     if mesh.size > 1:
         body = make_train_step(cfg, model, sampler, perceptual, axis_name="data")
         batch_spec = {"image": P("data"), "aug_id": P("data")}
@@ -91,11 +96,21 @@ def train(
     mesh=None,
 ) -> Any:
     """Run training. Returns the final TrainState (host-fetched)."""
-    mesh = mesh if mesh is not None else make_mesh()
-    n_dev = mesh.size
-    if cfg.global_batch % n_dev:
+    if mesh is None:
+        if cfg.space_shards > 1:
+            from partseg_tpu.dist.mesh import make_spatial_mesh
+
+            mesh = make_spatial_mesh(cfg.space_shards)
+        else:
+            mesh = make_mesh()
+    n_dev = mesh.size                 # throughput normalizer: every chip works
+    n_data = mesh.size // (
+        mesh.shape["space"] if "space" in mesh.axis_names else 1
+    )  # the batch shards over "data" only
+    if cfg.global_batch % n_data:
         raise ValueError(
-            f"global_batch {cfg.global_batch} not divisible by {n_dev} devices"
+            f"global_batch {cfg.global_batch} not divisible by {n_data} "
+            "data shards"
         )
     per_host_batch = cfg.global_batch // jax.process_count()
 
@@ -136,9 +151,19 @@ def train(
             )
         )
 
-    logger = MetricLogger(cfg.ckpt_dir)
+    # One writer per run dir: only process 0 even CONSTRUCTS the logger
+    # (the constructor opens metrics.jsonl and a TB event file — doing
+    # that on every host would leave stray writers behind).
+    logger = MetricLogger(cfg.ckpt_dir) if jax.process_index() == 0 else None
     base_key = create_replicated(lambda: jax.random.key(cfg.seed + 1), mesh)
-    bsh = batch_sharding(mesh)
+    if "space" in mesh.axis_names:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        bsh = NamedSharding(mesh, P("data", "space"))   # image rows
+        bsh_id = NamedSharding(mesh, P("data"))
+    else:
+        bsh = batch_sharding(mesh)
+        bsh_id = bsh
 
     t_last = time.perf_counter()
     imgs_since = 0
@@ -155,7 +180,7 @@ def train(
         )
         device_batch = {
             "image": _globalize(batch["image"], bsh),
-            "aug_id": _globalize(aug_id, bsh),
+            "aug_id": _globalize(aug_id, bsh_id),
         }
         state, metrics = step_fn(state, device_batch, base_key)
         imgs_since += cfg.global_batch
@@ -189,7 +214,8 @@ def train(
 
     ckpt.save(cfg.steps, state, force=True)
     ckpt.wait()
-    logger.close()
+    if logger is not None:
+        logger.close()
     return jax.device_get(state)
 
 
@@ -225,7 +251,15 @@ def _log_images(logger: MetricLogger, viz_fn, state, batch, step: int):
 
     n = min(8, batch["image"].shape[0])
     x = _host_local_rows(batch["image"], n)
-    out = viz_fn(state.params, x)
+    if x.dtype == np.uint8:
+        # Mirror step.py's uint8 fast path: the model expects [0,1].
+        x = x.astype(np.float32) * (1.0 / 255.0)
+    # Fetch params to host and run the viz forward on process-local
+    # devices only: this function runs on process 0 alone, and invoking
+    # a computation on global arrays committed to the full multi-process
+    # mesh from a single process would deadlock the other hosts.
+    params = jax.device_get(state.params)  # fully replicated → host copy
+    out = viz_fn(params, x)
     heat = np.asarray(out.parts_a)                    # [n, h, w, K]
     # Color-code parts by index for a single overlay image.
     k = heat.shape[-1]

@@ -1,0 +1,57 @@
+"""Child process for the two-process DURABILITY test (NOT a pytest file).
+
+Run: python tests/_multihost_train_child.py <pid> <nproc> <port> <run_dir>
+         [fault_step]
+
+Each process joins a localhost jax.distributed group (CPU backend, 4
+virtual devices each) and runs the REAL train() loop — Orbax saves,
+process-0-only metric/image writers, iterator seek on resume — on the
+synthetic dataset. With fault_step set, both processes os._exit(42) at
+that step (after the checkpoint flush), exercising multi-process
+save/kill/relaunch/restore end to end (VERDICT r2 weak #5).
+"""
+
+import pathlib
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    run_dir = sys.argv[4]
+    fault_step = int(sys.argv[5]) if len(sys.argv) > 5 else None
+    jax.distributed.initialize(
+        f"localhost:{port}", num_processes=nproc, process_id=pid
+    )
+
+    from partseg_tpu.augment.pair import AugmentConfig
+    from partseg_tpu.models.partnet import PartNetConfig
+    from partseg_tpu.train.config import LossConfig, OptimConfig, TrainConfig
+    from partseg_tpu.train.loop import train
+
+    cfg = TrainConfig(
+        model=PartNetConfig(n_parts=3, img_size=16, features=16, depth=1,
+                            app_features=8, decoder_scales=2,
+                            use_pallas=False),
+        augment=AugmentConfig(tps_grid=3),
+        loss=LossConfig(vgg_layers=("relu1_2",), vgg_trim_blocks=1),
+        optim=OptimConfig(warmup_steps=2, decay_steps=10),
+        dataset="synthetic",
+        dataset_kwargs=(("size", 16), ("n_blobs", 3), ("n_examples", 64)),
+        global_batch=8,
+        steps=8,
+        log_every=1,
+        image_log_every=3,        # exercises the p0-only viz path
+        ckpt_every=2,
+        ckpt_dir=run_dir,
+        fault_injection_step=fault_step,
+    )
+    train(cfg)
+    print(f"p{pid}: done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

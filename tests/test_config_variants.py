@@ -95,3 +95,70 @@ def test_speed_config_loads():
 
     cfg = load_config("configs/speed128.py")
     assert cfg.model.features == 48 and cfg.model.decoder_features == (96, 48, 24)
+
+
+def test_stem_stride4_config():
+    # Bandwidth knob: trunk at img/4. Part maps land at 4², moments and
+    # segmentation still well-formed.
+    cfg = dataclasses.replace(BASE, stem_stride=4, depth=1)
+    out = _forward(cfg)
+    assert out.logits_a.shape[1:3] == (4, 4)
+    assert out.recon.shape[1:3] == (16, 16)
+    assert np.isfinite(np.asarray(out.mu_a)).all()
+
+
+def test_decoder_out_size_config():
+    # Reconstruction decoded straight at the loss resolution; the
+    # decoder params stay resolution-agnostic (fully conv).
+    cfg = dataclasses.replace(BASE, decoder_out_size=8)
+    model = PartNet(cfg)
+    x = jax.random.uniform(jax.random.key(5), (2, 16, 16, 3))
+    params = model.init(jax.random.key(0), x, x)
+    out = model.apply(params, x, x)
+    assert out.recon.shape[1:3] == (8, 8)
+    # SAME params through a full-res decoder config (inference path).
+    full = PartNet(dataclasses.replace(cfg, decoder_out_size=None))
+    out_full = full.apply(params, x, x)
+    assert out_full.recon.shape[1:3] == (16, 16)
+
+
+def test_perceptual_handles_smaller_recon():
+    from partseg_tpu.losses.perceptual import PerceptualLoss
+    from partseg_tpu.losses.vgg import VGG19Features, load_vgg19_npz
+
+    vgg = VGG19Features(extract=("relu1_2",), trim_blocks=1)
+    params, _ = load_vgg19_npz(vgg, None, 16)
+    loss = PerceptualLoss(params, extract=("relu1_2",), trim_blocks=1,
+                          feature_resolution=8)
+    x = jax.random.uniform(jax.random.key(6), (2, 16, 16, 3))
+    xh = jax.random.uniform(jax.random.key(7), (2, 8, 8, 3))
+    v = loss(xh, x)
+    assert np.isfinite(float(v))
+    # Gradient flows to the small recon.
+    g = jax.grad(lambda a: loss(a, x))(xh)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
+
+
+def test_train_step_with_64core_knobs():
+    # The full step with stem_stride=4 + decoder_out_size=8 (the r3
+    # bandwidth recipe scaled to test size) runs and is finite.
+    from partseg_tpu.train.config import LossConfig, OptimConfig, TrainConfig
+    from partseg_tpu.train.loop import build_perceptual
+    from partseg_tpu.train.state import create_state
+    from partseg_tpu.train.step import make_train_step
+
+    cfg = TrainConfig(
+        model=dataclasses.replace(BASE, stem_stride=4, decoder_out_size=8),
+        augment=AugmentConfig(tps_grid=3),
+        loss=LossConfig(vgg_layers=("relu1_2",), vgg_trim_blocks=1,
+                        vgg_resolution=8),
+        optim=OptimConfig(warmup_steps=2, decay_steps=10),
+        global_batch=4,
+    )
+    model = PartNet(cfg.model)
+    state = create_state(cfg, model, jax.random.key(0))
+    step = jax.jit(make_train_step(
+        cfg, model, cfg.augment.make_sampler(), build_perceptual(cfg)))
+    batch = {"image": jax.random.uniform(jax.random.key(1), (4, 16, 16, 3))}
+    new_state, metrics = step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(metrics["loss"]))

