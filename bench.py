@@ -41,7 +41,8 @@ DEFAULT_CONFIG = "configs/speed128.py"
 
 
 def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
-         config: str | None = None, overrides: list | None = None):
+         config: str | None = None, overrides: list | None = None,
+         pipeline: str | None = None):
     # batch 128/chip measured fastest (64: 595, 128: 815, 256: 781
     # img/s/chip — HBM pressure beyond 128).
     mesh = make_mesh()
@@ -70,29 +71,58 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
     )
     key = jax.random.key(2)
 
+    if pipeline:
+        # VERDICT r2 missing #3: feed the step through the REAL host
+        # input pipeline (JPEG decode via the native C++ pool, u8
+        # host→device transfer) instead of device-resident tensors, so
+        # the number includes input-bound stalls. tools/feed_bench.py
+        # measures the host side in isolation.
+        import pathlib
+        import sys
+
+        sys.path.insert(0, str(pathlib.Path(__file__).parent))
+        from partseg_tpu.data.base import ImageListDataset
+        from partseg_tpu.data.loader import make_loader, prefetch
+        from tools.feed_bench import generate_images
+
+        paths = generate_images(pathlib.Path(pipeline), 4096)
+        ds = ImageListDataset(paths=paths, size=128)
+        it = prefetch(
+            make_loader(ds, cfg.global_batch, seed=0, num_workers=8,
+                        backend="native", process_index=0, process_count=1),
+            depth=4,
+        )
+
+        def next_batch():
+            return {"image": jax.device_put(next(it)["image"], batch_sharding(mesh))}
+    else:
+        def next_batch():
+            return batch
+
     for _ in range(warmup):
-        state, metrics = step_fn(state, batch, key)
+        state, metrics = step_fn(state, next_batch(), key)
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, metrics = step_fn(state, batch, key)
+        state, metrics = step_fn(state, next_batch(), key)
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 
     img_s_chip = cfg.global_batch * steps / dt / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "train_throughput_128px",
-                "value": round(img_s_chip, 1),
-                "unit": "img/s/chip",
-                "vs_baseline": round(img_s_chip / BASELINE_IMG_S_CHIP, 3),
-                "vgg_mode": perceptual.vgg_mode,
-                "config": config,
-            }
-        )
-    )
+    result = {
+        "metric": "train_throughput_128px" + ("_piped" if pipeline else ""),
+        "value": round(img_s_chip, 1),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s_chip / BASELINE_IMG_S_CHIP, 3),
+        "vgg_mode": perceptual.vgg_mode,
+        "config": config,
+    }
+    if pipeline:
+        import os
+
+        result["host_cores"] = os.cpu_count()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
@@ -105,6 +135,10 @@ if __name__ == "__main__":
                     help="bench an alternative 128px training config")
     ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL",
                     help="dot-path config overrides (perf A/B probes)")
+    ap.add_argument("--pipeline", default=None, metavar="DIR",
+                    help="feed steps from the real host input pipeline "
+                         "(synthetic JPEGs generated into DIR) instead of "
+                         "device-resident tensors")
     a = ap.parse_args()
     main(batch_per_chip=a.batch, steps=a.steps, config=a.config,
-         overrides=getattr(a, "set"))
+         overrides=getattr(a, "set"), pipeline=a.pipeline)

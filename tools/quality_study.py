@@ -1,13 +1,24 @@
 """Quality-vs-speed study (SURVEY.md §6 quality gate for the 8k push).
 
-Trains the SAME synthetic task under (a) quality-class settings (the
-flagship recipe scaled to 64px synthetic: full-resolution VGG features,
-deeper hourglass) and (b) throughput-class settings (the deltas
-configs/throughput128.py applies at 128px: half-resolution VGG
-features, one less hourglass level / decoder scale), at EQUAL steps,
-then reports landmark %-diag + part-matched mIoU side by side.
+Two modes:
 
-Run: python tools/quality_study.py [--steps 800]
+--px 64 (the r2 study, kept for continuity): flagship-class vs the
+  throughput128 DELTAS scaled to the 64px synthetic task, at EQUAL
+  STEPS.
+
+--px 128 (default, VERDICT r2 item #2): the ACTUAL bench recipes —
+  configs/celeba.py's flagship model/loss vs configs/speed128.py's
+  48-channel trunk (and the r3 rungs) — on a 128px / 10-part synthetic
+  task, at EQUAL WALL-CLOCK: each variant's step budget is scaled by
+  its measured bench rate (img/s/chip, docs/perf_ledger.md), so a
+  recipe that steps 3.4× faster trains 3.4× more steps, exactly what a
+  fixed training-hour budget buys. The gate makes the bench default
+  defensible: the default must be the FASTEST recipe whose
+  equal-wall-clock landmark error and mIoU match or beat the flagship
+  recipe's (5% tolerance); otherwise revert the default to the fastest
+  recipe that passes.
+
+Run: python tools/quality_study.py [--px 128] [--base_steps 800]
 Prints one JSON line; paste the table into STATUS.md.
 """
 
@@ -18,7 +29,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-VARIANTS = {
+VARIANTS_64 = {
     # Flagship-class at 64px synthetic (configs/synthetic.py defaults).
     "quality": [],
     # The throughput128 deltas, scaled to the 64px synthetic task:
@@ -33,39 +44,80 @@ VARIANTS = {
     ],
 }
 
+# 128px mode: identical data/optimizer/augmentation; ONLY the model and
+# loss fields that differ between configs/celeba.py and
+# configs/speed128.py (plus the r3 rungs) vary. Rates are measured
+# bench.py img/s/chip values (docs/perf_ledger.md) used to convert the
+# shared wall-clock budget into per-variant step budgets.
+PX128_BASE = [
+    "model.img_size=128",
+    "model.n_parts=10",
+    "dataset_kwargs=(('size',128),('n_blobs',10),('n_examples',2048))",
+    "global_batch=64",
+    "optim.decay_steps=20000",
+]
 
-def main(steps: int = 800, base_dir: str = "logs/quality_study"):
+FLAGSHIP_128 = [
+    # PartNetConfig + LossConfig defaults ARE the flagship recipe.
+]
+
+SPEED128 = [
+    "model.features=48",
+    "model.app_features=48",
+    "model.depth=3",
+    "model.decoder_scales=3",
+    "model.decoder_features=(96,48,24)",
+    "loss.vgg_layers=('relu1_2','relu2_2')",
+    "loss.vgg_trim_blocks=2",
+    "loss.vgg_resolution=64",
+]
+
+VARIANTS_128 = {
+    # name: (overrides, measured img/s/chip at B=128)
+    "flagship": (FLAGSHIP_128, 824.6),
+    "speed128": (SPEED128, 2818.4),
+    # r3 rungs — rates filled in from the r3 probe ladder as measured.
+    "speed128_d64": (SPEED128 + ["model.decoder_out_size=64"], None),
+    "speed128_r3": (
+        SPEED128 + ["model.decoder_out_size=64", "model.stem_stride=4"],
+        None,
+    ),
+}
+
+
+def run_variant(name, overrides, steps, base_dir):
     from tools.validate_segmentation import main as validate_seg
     from tools.validate_synthetic import main as validate_syn
 
-    rows = {}
-    for name, overrides in VARIANTS.items():
-        out_dir = os.path.join(base_dir, name)
-        print(f"=== variant {name}: overrides={overrides} ===", flush=True)
-        syn = validate_syn(steps=steps, out_dir=out_dir, overrides=overrides)
-        seg = validate_seg(out_dir, overrides=overrides)
-        rows[name] = {
-            "landmark_err_pct_diag": syn["landmark_err_pct_diag_trained"],
-            "equiv_last": syn["equiv_last"],
-            "miou": seg["miou_trained"],
-            "fg_iou": seg["fg_iou_trained"],
-            "learned": bool(syn["ok"]),
-            "seg_abs_pass": bool(seg["ok"]),
-        }
+    out_dir = os.path.join(base_dir, name)
+    print(f"=== variant {name}: steps={steps} overrides={overrides} ===",
+          flush=True)
+    syn = validate_syn(steps=steps, out_dir=out_dir, overrides=overrides)
+    seg = validate_seg(out_dir, overrides=overrides)
+    return {
+        "steps": steps,
+        "landmark_err_pct_diag": syn["landmark_err_pct_diag_trained"],
+        "equiv_last": syn["equiv_last"],
+        "miou": seg["miou_trained"],
+        "fg_iou": seg["fg_iou_trained"],
+        "learned": bool(syn["ok"]),
+        "seg_abs_pass": bool(seg["ok"]),
+    }
 
+
+def main_64(steps: int, base_dir: str):
+    rows = {
+        name: run_variant(name, ov, steps, base_dir)
+        for name, ov in VARIANTS_64.items()
+    }
     q, t = rows["quality"], rows["throughput"]
     result = {
+        "mode": "64px_equal_steps",
         "steps": steps,
         "quality": q,
         "throughput": t,
-        # The gate is RELATIVE (the study compares recipes; absolute
-        # bars belong to validate_synthetic/validate_segmentation):
-        # the throughput recipe must still learn (equivariance falls,
-        # landmarks beat random) and stay within 2× landmark error and
-        # 0.7× mIoU of the quality recipe at EQUAL steps — loose by
-        # design: it trains with ~60% fewer FLOPs, so per wall-hour it
-        # sees ~2.5× more steps. r2 @800 steps it actually WON on
-        # landmarks (0.597 vs 0.708 %-diag) and fg-IoU (0.174 vs 0.150).
+        # Relative gate, loose by design (the throughput recipe trains
+        # with ~60% fewer FLOPs → ~2.5× more steps per wall-hour).
         "gate_pass": bool(
             t["learned"]
             and t["landmark_err_pct_diag"] <= 2.0 * q["landmark_err_pct_diag"]
@@ -76,9 +128,78 @@ def main(steps: int = 800, base_dir: str = "logs/quality_study"):
     return result
 
 
+def main_128(base_steps: int, base_dir: str, variants: list[str],
+             rates: dict[str, float] | None = None):
+    """Equal-WALL-CLOCK study: variant v trains
+    base_steps × rate_v / rate_flagship steps (same global batch, so
+    steps/s ∝ img/s/chip)."""
+    rates = rates or {}
+    sel = {}
+    for name in variants:
+        ov, rate = VARIANTS_128[name]
+        rate = rates.get(name, rate)
+        if rate is None:
+            raise SystemExit(
+                f"variant {name} has no measured rate — pass "
+                f"--rate {name}=<img/s/chip> from a bench.py run"
+            )
+        sel[name] = (ov, rate)
+    if "flagship" not in sel:
+        raise SystemExit("the 128px study needs the flagship anchor")
+
+    flag_rate = sel["flagship"][1]
+    rows = {}
+    for name, (ov, rate) in sel.items():
+        steps = max(1, round(base_steps * rate / flag_rate))
+        rows[name] = run_variant(name, PX128_BASE + ov, steps, base_dir)
+        rows[name]["img_s_chip"] = rate
+
+    f = rows["flagship"]
+    verdicts = {}
+    for name, r in rows.items():
+        if name == "flagship":
+            continue
+        verdicts[name] = bool(
+            r["learned"]
+            and r["landmark_err_pct_diag"]
+            <= 1.05 * f["landmark_err_pct_diag"]
+            and r["miou"] >= 0.95 * f["miou"]
+        )
+    passing = [n for n, ok in verdicts.items() if ok]
+    fastest_pass = (
+        max(passing, key=lambda n: rows[n]["img_s_chip"]) if passing else None
+    )
+    result = {
+        "mode": "128px_equal_wallclock",
+        "base_steps": base_steps,
+        "rows": rows,
+        "pass_at_equal_wallclock": verdicts,
+        "fastest_passing_variant": fastest_pass,
+        "gate_pass": bool(passing),
+    }
+    print(json.dumps(result))
+    return result
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=800)
+    ap.add_argument("--px", type=int, default=128, choices=(64, 128))
+    ap.add_argument("--steps", type=int, default=800,
+                    help="64px mode: equal steps per variant")
+    ap.add_argument("--base_steps", type=int, default=800,
+                    help="128px mode: the FLAGSHIP's step budget; faster "
+                         "variants scale up by their bench rate")
     ap.add_argument("--base_dir", default="logs/quality_study")
+    ap.add_argument("--variants", default="flagship,speed128")
+    ap.add_argument("--rate", action="append", default=[],
+                    metavar="NAME=IMG_S", help="override/provide a "
+                    "variant's measured bench rate")
     a = ap.parse_args()
-    raise SystemExit(0 if main(a.steps, a.base_dir)["gate_pass"] else 1)
+    if a.px == 64:
+        r = main_64(a.steps, a.base_dir)
+    else:
+        rates = dict(
+            (k, float(v)) for k, v in (s.split("=") for s in a.rate)
+        )
+        r = main_128(a.base_steps, a.base_dir, a.variants.split(","), rates)
+    raise SystemExit(0 if r["gate_pass"] else 1)

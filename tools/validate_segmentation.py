@@ -32,6 +32,7 @@ def main(ckpt_dir: str, overrides: list | None = None):
         cfg = apply_overrides(cfg, overrides)
     model, params = load_model_and_params(cfg, ckpt_dir)
     kwargs = dict(cfg.dataset_kwargs)
+    kwargs.pop("n_examples", None)    # the eval split sizes itself below
 
     def run(p):
         ds = SyntheticBlobs(seed=2, n_examples=512, with_masks=True, **kwargs)
