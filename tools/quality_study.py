@@ -58,7 +58,16 @@ PX128_BASE = [
 ]
 
 FLAGSHIP_128 = [
-    # PartNetConfig + LossConfig defaults ARE the flagship recipe.
+    # configs/celeba.py = PartNetConfig + LossConfig defaults; the
+    # synthetic base config is smaller, so reset every differing field.
+    "model.features=128",
+    "model.app_features=128",
+    "model.depth=4",
+    "model.decoder_scales=4",
+    "model.decoder_features=(256,128,64,32)",
+    "loss.vgg_layers=('relu1_2','relu2_2','relu3_2','relu4_2')",
+    "loss.vgg_trim_blocks=4",
+    "loss.vgg_resolution=None",
 ]
 
 SPEED128 = [
