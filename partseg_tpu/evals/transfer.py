@@ -50,6 +50,15 @@ def main(argv=None):
     from partseg_tpu.train.config import load_config
 
     cfg = load_config(args.config)
+    if cfg.model.decoder_out_size:
+        # Throughput configs train the (fully convolutional) decoder at
+        # the loss resolution; inference decodes at full image size with
+        # the same params.
+        import dataclasses
+
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, decoder_out_size=None)
+        )
     model, params = load_model_and_params(cfg, args.ckpt_dir)
     s = cfg.model.img_size
 

@@ -54,7 +54,7 @@ from partseg_tpu.parallel.spatial_model import (
     sharded_group_norm,
 )
 from partseg_tpu.partops.assembly import assemble_decoder_input
-from partseg_tpu.partops.moments import moments_from_raw, precision_from_cov
+from partseg_tpu.partops.moments import precision_from_cov
 from partseg_tpu.train.state import TrainState, make_optimizer
 
 DATA_AXIS = "data"
@@ -124,8 +124,6 @@ def sharded_vgg_features(
 ):
     """losses/vgg.py VGG19Features forward on row shards (halo convs,
     row-local 2×2 maxpool — h_local must stay even through the pools)."""
-    import numpy as np
-
     from partseg_tpu.losses.vgg import _MEAN, _STD, _VGG19_BLOCKS
 
     p = params["params"] if "params" in params else params

@@ -26,6 +26,7 @@ function of the coords and is applied outside the kernel.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +66,61 @@ def _kernel_tps(img_ref, basis_ref, w_ref, out_ref, *, h, w, c, tile):
     fx = (crd[:, 1] + 1.0) * (0.5 * w) - 0.5
     _interp_body(img_ref, out_ref, fy, fx, h=h, w=w, c=c, tile=tile,
                  with_grads=False)
+
+
+def _kernel_tps_banded(img_ref, basis_ref, w_ref, out_ref, *, h, w, c,
+                       tile, kh):
+    """Banded fused TPS warp (docs/perf_ledger.md lever #2).
+
+    The unbanded kernel's [T, H] @ [H, C·W] y-interpolation touches all
+    H rows although a raster-order point tile (KR = tile/W consecutive
+    output rows) reads only a narrow input band: the tile's rows plus
+    the TPS displacement VARIATION across it (the global shift is
+    absorbed by anchoring the band at the tile's own min row). The band
+    start is dynamic (this tile's min tap row, sublane-aligned); its
+    HEIGHT kh is static: KR + h/4 + alignment by default — ±h/8 ≈
+    ±2.8σ of the default AugmentConfig's across-tile variation
+    (rotation·width σ≈0.16 + spline σ≈0.11, normalized). Taps beyond
+    the band clamp to its edge — same failure shape as the border
+    clamp, affecting only extreme-tail draws; parity vs the unbanded
+    kernel on typical draws is tested in tests/partops.
+    """
+    crd = jnp.dot(
+        basis_ref[...], w_ref[0], preferred_element_type=jnp.float32
+    )                                                        # [T, 2]
+    fy = (crd[:, 0] + 1.0) * (0.5 * h) - 0.5                 # [T]
+    fx = (crd[:, 1] + 1.0) * (0.5 * w) - 0.5
+    y0 = jnp.floor(fy)
+    x0 = jnp.floor(fx)
+    wy = (fy - y0)[:, None]                                  # [T, 1]
+    wx = (fx - x0)[:, None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    start = jnp.clip(jnp.min(y0i), 0, h - kh)
+    start = (start // 8) * 8                                 # sublane-aligned
+    # Clamp taps into the band (band ⊆ image, so this includes the
+    # border clamp).
+    y0c = jnp.clip(y0i, start, start + kh - 1)[:, None] - start
+    y1c = jnp.clip(y0i + 1, start, start + kh - 1)[:, None] - start
+    x0c = jnp.clip(x0i, 0, w - 1)[:, None]
+    x1c = jnp.clip(x0i + 1, 0, w - 1)[:, None]
+
+    iota_kh = jax.lax.broadcasted_iota(jnp.int32, (tile, kh), 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1)
+    oh_y0 = (iota_kh == y0c).astype(jnp.float32)             # [T, KH]
+    oh_y1 = (iota_kh == y1c).astype(jnp.float32)
+    sx0 = (iota_w == x0c).astype(jnp.float32)                # [T, W]
+    sx1 = (iota_w == x1c).astype(jnp.float32)
+    w_y = oh_y0 + (oh_y1 - oh_y0) * wy
+    w_x = sx0 + (sx1 - sx0) * wx
+
+    mt = img_ref.dtype
+    band = img_ref[0, pl.ds(start, kh), :]                   # [KH, C*W]
+    rows = jnp.dot(w_y.astype(mt), band, preferred_element_type=jnp.float32)
+    for ch in range(c):
+        seg = rows[:, ch * w : (ch + 1) * w]                 # [T, W]
+        out_ref[0, ch] = jnp.sum(w_x * seg, axis=1).astype(out_ref.dtype)
 
 
 def _interp_body(img_ref, out_ref, fy, fx, *, h, w, c, tile, with_grads):
@@ -292,9 +348,26 @@ def _run_tps_kernel(image, weights, basis, interpret):
     w_p = jnp.zeros((b, m_pad, 2), jnp.float32)
     w_p = w_p.at[:, :m].set(weights.astype(jnp.float32))
 
+    # Band height via $PARTSEG_WARP_BAND (0 = full-H kernel, the
+    # DEFAULT). Banding was the ledger's lever #2, but the r3 A/B on
+    # chip measured it SLOWER full-step (kh=72/tile 4096: 7011 vs 7322
+    # img/s; kh=48/tile 2048: 6750) — at these shapes the kernel is not
+    # MXU-pass-bound, and the dynamic-start band slab costs more than
+    # the smaller matmul saves. Kept as a tested experiment for larger
+    # images (where H ≫ KH makes the pass cut much bigger). Banding
+    # needs raster-order points (n == h*w) so a tile = consecutive rows.
+    kh = int(os.environ.get("PARTSEG_WARP_BAND", "0"))
+    kh = min(h, _round_up(kh, 8)) if kh else 0
+    banded = 0 < kh < h and n == h * w and tile % w == 0 and pad_n == n
+
     rows = _round_up(c, 8)
+    kern = (
+        functools.partial(_kernel_tps_banded, h=h, w=w, c=c, tile=tile, kh=kh)
+        if banded
+        else functools.partial(_kernel_tps, h=h, w=w, c=c, tile=tile)
+    )
     out = pl.pallas_call(
-        functools.partial(_kernel_tps, h=h, w=w, c=c, tile=tile),
+        kern,
         grid=(b, pad_n // tile),
         in_specs=[
             pl.BlockSpec((1, h, c * w), lambda i, t: (i, 0, 0),

@@ -119,3 +119,38 @@ def test_tps_warp_fused_grads():
     for a, b in zip(g1, g2):
         assert np.isfinite(np.asarray(a)).all()
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_tps_warp_banded_matches_flow_path(monkeypatch):
+    # The BANDED fused TPS kernel (dynamic y-band anchored at the
+    # tile's own min tap row; env-gated experiment, off by default
+    # after the r3 full-step A/B) must match the dense-flow reference
+    # exactly on typical sampler draws.
+    from partseg_tpu.augment.tps import TPSSampler
+    from partseg_tpu.partops.pallas import tps_warp_fused
+
+    monkeypatch.setenv("PARTSEG_WARP_BAND", "56")
+    sampler = TPSSampler(grid_size=4)
+    img = jax.random.uniform(jax.random.key(10), (2, 64, 64, 3))
+    params = sampler.sample(jax.random.key(11), 2)
+    want = sampler.warp(params, img, impl="gather")
+    got = tps_warp_fused(img, params.weights, sampler.flow_basis(64, 64))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_tps_warp_banded_extreme_draw_clamps_finite(monkeypatch):
+    # A pathologically large draw can push taps outside the band; they
+    # clamp to the band edge (border-clamp failure shape) — output must
+    # stay finite and within the image's value range, never garbage.
+    from partseg_tpu.augment.tps import TPSSampler
+    from partseg_tpu.partops.pallas import tps_warp_fused
+
+    monkeypatch.setenv("PARTSEG_WARP_BAND", "40")   # deliberately tight
+    sampler = TPSSampler(grid_size=4, scale_sd=0.5, rot_sd=0.5,
+                         trans_sd=0.5, ctrl_sd=0.5)
+    img = jax.random.uniform(jax.random.key(12), (1, 64, 64, 3))
+    params = sampler.sample(jax.random.key(13), 1)
+    out = np.asarray(tps_warp_fused(img, params.weights,
+                                    sampler.flow_basis(64, 64)))
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 - 1e-5 and out.max() <= 1.0 + 1e-5

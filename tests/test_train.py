@@ -210,3 +210,31 @@ def test_pallas_step_under_shard_map():
     }
     new_state, metrics = step_fn(state, batch, jax.random.key(7))
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.slow
+def test_train_loop_spatial_mesh(tmp_path):
+    # End-to-end loop wiring for space_shards>1 (configs/celeba256_spatial
+    # path scaled down): mesh construction, P("data","space") batch
+    # placement, aug_id sharding, metrics — 3 steps on the CPU mesh.
+    import dataclasses
+
+    cfg = TINY.replace(
+        model=dataclasses.replace(TINY.model, img_size=32),
+        augment=AugmentConfig(tps_grid=3, warp_impl="gather"),
+        dataset_kwargs=(("size", 32), ("n_blobs", 3), ("n_examples", 64)),
+        space_shards=2,
+        ckpt_dir=str(tmp_path / "run"),
+    )
+    state = train(cfg, restore=False)
+    import json
+    import pathlib
+
+    hist = [
+        json.loads(l) for l in
+        pathlib.Path(cfg.ckpt_dir, "metrics.jsonl").read_text().splitlines()
+    ]
+    assert len(hist) == 3 and np.isfinite(hist[-1]["loss"])
+    assert np.isfinite(
+        np.asarray(jax.tree.leaves(state.params)[0], np.float32)
+    ).all()
