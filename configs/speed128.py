@@ -1,30 +1,25 @@
-"""Speed-oriented 128px config — the bandwidth roofline vehicle.
+"""Speed-oriented 128px config — the bandwidth-roofline vehicle.
 
-r2 tracing showed the step is HBM-BANDWIDTH-bound, not FLOP-bound
-(most fusions run at ~700 GB/s ≈ v5e peak while the MXU idles): the
-128-channel trunk moves ~[2B,64,64,128]=268 MB per activation. The 8k
+r2/r3 tracing showed the step is HBM-BANDWIDTH-bound, not FLOP-bound
+(fusions run at ~700 GB/s ≈ v5e peak while the MXU idles). The 8k
 img/s/chip target (16 ms/step at B=128) allows ≈13 GB of HBM traffic
-per step, so this config halves every activation the throughput128
-config still carries:
+per step. The rungs, each measured on chip (docs/perf_ledger.md):
 
-  - trunk features 48 (100 MB per 2B activation), hourglass depth 3,
-  - appearance dim 48,
-  - decoder pyramid (96, 48, 24) over 3 scales with per-scale
-    appearance projection,
-  - perceptual features at 64² over VGG blocks ≤2.
+  r2 base: 48-ch trunk, hourglass depth 3, appearance 48, decoder
+    pyramid (96, 48, 24)/3 scales, VGG ≤relu2_2 @64²  → 2,806
+  + decoder_out_size=64 (decode AT the loss resolution: the 128²
+    decoder scale fed only a pixel-L1 nothing else consumed; the
+    fully-conv decoder re-renders at any out_size for inference —
+    evals/transfer.py resets it to None automatically)  → 4,304
+  + stem_stride=4 (4×4 space-to-depth stem; the whole trunk runs at
+    32², quartering its bytes; part maps at 32²)        → 7,322
 
-Learning validated on synthetic at EVERY slimming step
-(tools/validate_synthetic.py, 800 on-chip steps, landmark %-diag vs
-the flagship recipe's 0.58–0.71 band at equal steps):
-
-  features 64 (2,486 img/s/chip): 0.634  (logs/val_speed)
-  features 48 (2,818 img/s/chip): 0.766  (logs/val_f48) — inside the
-    documented 2× gate of tools/quality_study.py; the 64-ch rung is
-    one `--set model.features=64 model.app_features=64` away.
-
-Accuracy headroom vs the flagship is bounded by quality_study-style
-equal-step comparisons — quality configs (configs/celeba.py) keep the
-full trunk + full VGG.
+Quality gating: tools/quality_study.py --px 128 trains the ACTUAL
+recipes (this config vs configs/celeba.py's flagship) at equal
+WALL-CLOCK with step budgets scaled by measured throughput; the bench
+default must match the flagship's landmark error and mIoU there (see
+STATUS.md for the r3 gate table). Quality configs (configs/celeba.py)
+keep the full trunk, full VGG, and full-res decoding.
 """
 
 from partseg_tpu.augment.pair import AugmentConfig
@@ -37,6 +32,7 @@ def get_config() -> TrainConfig:
         model=PartNetConfig(
             n_parts=10, img_size=128, features=48, app_features=48,
             depth=3, decoder_scales=3, decoder_features=(96, 48, 24),
+            decoder_out_size=64, stem_stride=4,
         ),
         augment=AugmentConfig(),
         loss=LossConfig(

@@ -191,6 +191,9 @@ def main_128(base_steps: int, base_dir: str, variants: list[str],
 
 
 if __name__ == "__main__":
+    from partseg_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--px", type=int, default=128, choices=(64, 128))
     ap.add_argument("--steps", type=int, default=800,

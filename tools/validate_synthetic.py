@@ -91,6 +91,9 @@ def main(steps: int = 600, out_dir: str = "logs/validate_synthetic",
 
 
 if __name__ == "__main__":
+    from partseg_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--out_dir", default="logs/validate_synthetic")
