@@ -301,3 +301,25 @@ def test_spatial_train_step_rejects_swap_loss():
     )
     with pytest.raises(ValueError, match="swap_weight"):
         make_spatial_train_step(cfg, cfg.augment.make_sampler(), None)
+
+
+def test_sharded_shape_encoder_stem_stride4():
+    # r3 throughput checkpoints train with stem_stride=4; the sharded
+    # forward must honor the stride and stay exact.
+    from partseg_tpu.models.encoders import ShapeEncoder
+    from partseg_tpu.parallel.spatial_model import sharded_shape_encoder
+
+    enc = ShapeEncoder(n_parts=3, background=True, depth=1, features=16,
+                       n_stacks=1, stem_stride=4, dtype=jnp.float32)
+    x = jax.random.uniform(jax.random.key(30), (2, 64, 32, 3))
+    params = enc.init(jax.random.key(31), x)
+    want = enc.apply(params, x)
+    fn = _smap(
+        lambda xs: sharded_shape_encoder(
+            params, xs, depth=1, stem_stride=4
+        ),
+        (ROWS,), ROWS,
+    )
+    got = fn(x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
