@@ -9,8 +9,9 @@ halo-exchange convs, psum GroupNorm/softmax/moments/pooling, row-local
 rendering — the full step is exactness-tested against the unsharded
 one (tests/test_spatial_sharding.py::test_spatial_train_step_*).
 
-Requires: loss.swap_weight=0 (spatial step does not implement the
-swap round), device count divisible by space_shards. The driver
+Requires: device count divisible by space_shards. All loss terms are
+supported (incl. the appearance-swap round, which rolls per data
+shard exactly like the DP branch). The driver
 dry-runs this path via __graft_entry__.dryrun_multichip (spatial
 phase). Launch:
 
@@ -29,7 +30,7 @@ def get_config() -> TrainConfig:
             app_features=128, decoder_scales=4,
         ),
         augment=AugmentConfig(),
-        loss=LossConfig(vgg_resolution=128, swap_weight=0.0),
+        loss=LossConfig(vgg_resolution=128, swap_weight=0.5),
         optim=OptimConfig(lr=1e-3, decay_steps=200_000),
         dataset="celeba",
         dataset_kwargs=(("size", 256),),

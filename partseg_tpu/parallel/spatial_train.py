@@ -25,8 +25,10 @@ Design:
     exact (loss AND grads) vs the unsharded step in
     tests/test_spatial_sharding.py.
 
-The swap loss (loss.swap_weight) is not supported here (extra
-decode+encode round; raise loudly rather than silently diverge).
+All of train/step.py's loss terms are supported, including the
+appearance-swap round (decode with rolled appearance → re-encode →
+moments, all sharded; the roll is per-data-shard exactly like the
+shard_map DP branch).
 """
 
 from __future__ import annotations
@@ -196,6 +198,22 @@ def sharded_perceptual_loss(perceptual, x_hat, x, axis_name: str = SPACE_AXIS):
 # ------------------------------------------------------------------ forward
 
 
+def _sharded_stats(logits, cfg, h_map_g, axis_name):
+    """PartNet.shape_stats on row shards (partnet.py:115-132): spatial
+    normalization over the GLOBAL map + psum moments."""
+    fg = logits[..., : cfg.n_parts]
+    if cfg.spatial_norm == "softmax":
+        parts = sharded_spatial_softmax(fg, axis_name)
+    else:
+        e = jax.nn.softplus(fg.astype(jnp.float32))
+        s = jax.lax.psum(jnp.sum(e, axis=(1, 2), keepdims=True), axis_name)
+        parts = e / (s + 1e-8)
+    mu, sigma = sharded_soft_argmax_moments(
+        parts, h_global=h_map_g, axis_name=axis_name
+    )
+    return parts, mu, sigma
+
+
 def sharded_partnet_forward(params, x_s, x_a, cfg, axis_name: str = SPACE_AXIS):
     """PartNet.__call__ (models/partnet.py) on row shards. Returns the
     output fields the losses consume (all μ/Σ/appearance replicated;
@@ -212,26 +230,8 @@ def sharded_partnet_forward(params, x_s, x_a, cfg, axis_name: str = SPACE_AXIS):
     logits_a, logits_s = logits_both[:b], logits_both[b:]
     k = cfg.n_parts
 
-    def stats(logits):
-        fg = logits[..., :k]
-        if cfg.spatial_norm == "softmax":
-            parts = sharded_spatial_softmax(fg, axis_name)
-            mu, sigma = sharded_soft_argmax_moments(
-                parts, h_global=h_map_g, axis_name=axis_name
-            )
-        else:
-            e = jax.nn.softplus(fg.astype(jnp.float32))
-            s = jax.lax.psum(
-                jnp.sum(e, axis=(1, 2), keepdims=True), axis_name
-            )
-            parts = e / (s + 1e-8)
-            mu, sigma = sharded_soft_argmax_moments(
-                parts, h_global=h_map_g, axis_name=axis_name
-            )
-        return parts, mu, sigma
-
-    parts_a, mu_a, sigma_a = stats(logits_a)
-    parts_s, mu_s, sigma_s = stats(logits_s)
+    parts_a, mu_a, sigma_a = _sharded_stats(logits_a, cfg, h_map_g, axis_name)
+    parts_s, mu_s, sigma_s = _sharded_stats(logits_s, cfg, h_map_g, axis_name)
 
     feats_s = sharded_appearance_encoder(
         p["app_enc"], x_s, depth=cfg.depth, norm=cfg.norm,
@@ -260,12 +260,6 @@ def make_spatial_train_step(
     """The shard_map BODY of the full spatially-sharded train step
     (train/step.py semantics under a ("data", "space") mesh). Jit it
     via build_spatial_step_fn."""
-    if cfg.loss.swap_weight:
-        raise ValueError(
-            "loss.swap_weight is not supported under spatial sharding "
-            "(extra decode/encode round not implemented) — set it to 0 "
-            "for >128px spatial configs"
-        )
     optimizer = make_optimizer(cfg.optim)
     lw = cfg.loss
     mc = cfg.model
@@ -302,6 +296,31 @@ def make_spatial_train_step(
             l_seg = _sharded_seg_consistency(mc, out, space_axis)
             loss = loss + lw.seg_weight * l_seg
             metrics["seg"] = l_seg
+        if lw.swap_weight:
+            # Appearance-swap consistency (step.py:92-107): the roll is
+            # per-DATA-shard, exactly like the shard_map DP branch.
+            p = params["params"] if "params" in params else params
+            app_sw = jnp.roll(out["appearance"], 1, axis=0)
+            recon_sw = sharded_decoder(
+                p["decoder"], out["mu_a"], out["sigma_a"], app_sw, mc,
+                space_axis,
+            )
+            logits_sw = sharded_shape_encoder(
+                p["shape_enc"], recon_sw.astype(mc.dtype), depth=mc.depth,
+                n_stacks=mc.n_stacks, norm=mc.norm,
+                stem_stride=mc.stem_stride, axis_name=space_axis,
+            )
+            out_size = mc.decoder_out_size or mc.img_size
+            _, mu_sw, _ = _sharded_stats(
+                logits_sw, mc, out_size // mc.stem_stride, space_axis
+            )
+            l_swap = jnp.mean(
+                jnp.sum(
+                    (mu_sw - out["mu_a"].astype(jnp.float32)) ** 2, axis=-1
+                )
+            )
+            loss = loss + lw.swap_weight * l_swap
+            metrics["swap"] = l_swap
         metrics["loss"] = loss
         return loss, metrics
 

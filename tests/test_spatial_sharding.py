@@ -286,21 +286,70 @@ def test_spatial_train_step_matches_unsharded():
         )
 
 
-def test_spatial_train_step_rejects_swap_loss():
-    import pytest
+def test_spatial_train_step_swap_loss_matches_dp():
+    # The appearance-swap round (decode rolled appearance → re-encode →
+    # moments) rolls per-DATA-shard, exactly like the shard_map DP
+    # branch — so (2 data × 2 space) must match DP-over-2-devices
+    # bit-for-bit on loss and the swap metric.
+    from jax.sharding import NamedSharding
 
     from partseg_tpu.augment.pair import AugmentConfig
-    from partseg_tpu.models.partnet import PartNetConfig
-    from partseg_tpu.parallel.spatial_train import make_spatial_train_step
-    from partseg_tpu.train.config import LossConfig, TrainConfig
+    from partseg_tpu.models.partnet import PartNet, PartNetConfig
+    from partseg_tpu.parallel.spatial_train import build_spatial_step_fn
+    from partseg_tpu.train.config import LossConfig, OptimConfig, TrainConfig
+    from partseg_tpu.train.loop import build_perceptual, build_step_fn
+    from partseg_tpu.train.state import create_state
 
     cfg = TrainConfig(
-        model=PartNetConfig(n_parts=3, img_size=32),
-        augment=AugmentConfig(tps_grid=3),
-        loss=LossConfig(swap_weight=0.5),
+        model=PartNetConfig(n_parts=3, img_size=32, features=16, depth=1,
+                            app_features=8, decoder_scales=2,
+                            decoder_features=(16, 8), use_pallas=False,
+                            dtype=jnp.float32),
+        augment=AugmentConfig(tps_grid=3, warp_impl="gather"),
+        loss=LossConfig(vgg_layers=("relu1_2",), vgg_trim_blocks=1,
+                        swap_weight=0.5),
+        optim=OptimConfig(warmup_steps=2, decay_steps=10),
+        global_batch=4,
     )
-    with pytest.raises(ValueError, match="swap_weight"):
-        make_spatial_train_step(cfg, cfg.augment.make_sampler(), None)
+    model = PartNet(cfg.model)
+    sampler = cfg.augment.make_sampler()
+    perceptual = build_perceptual(cfg)
+    state = create_state(cfg, model, jax.random.key(0))
+    imgs = jax.random.uniform(jax.random.key(1), (4, 32, 32, 3))
+    aug_id = jnp.arange(4, dtype=jnp.int32)
+
+    dp_mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    dp_step = build_step_fn(cfg, model, sampler, perceptual, dp_mesh)
+    dp_batch = {
+        "image": jax.device_put(imgs, NamedSharding(dp_mesh, P("data"))),
+        "aug_id": jax.device_put(aug_id, NamedSharding(dp_mesh, P("data"))),
+    }
+    _, ref = dp_step(
+        jax.device_put(state, NamedSharding(dp_mesh, P())), dp_batch,
+        jax.random.key(7),
+    )
+
+    sp_mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                   ("data", "space"))
+    sp_step = build_spatial_step_fn(cfg, sampler, perceptual, sp_mesh)
+    # Both step fns donate their state argument — rebuild it.
+    state = create_state(cfg, model, jax.random.key(0))
+    sp_batch = {
+        "image": jax.device_put(
+            imgs, NamedSharding(sp_mesh, P("data", "space"))
+        ),
+        "aug_id": jax.device_put(aug_id, NamedSharding(sp_mesh, P("data"))),
+    }
+    _, got = sp_step(
+        jax.device_put(state, NamedSharding(sp_mesh, P())), sp_batch,
+        jax.random.key(7),
+    )
+    np.testing.assert_allclose(
+        float(got["swap"]), float(ref["swap"]), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(got["loss"]), float(ref["loss"]), rtol=2e-5
+    )
 
 
 def test_sharded_shape_encoder_stem_stride4():
