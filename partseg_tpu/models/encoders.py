@@ -59,14 +59,23 @@ class ShapeEncoder(nn.Module):
     remat: bool = False
     norm: str = "block"
     stem_stride: int = 2
+    # 2× NN-upsample the trunk output before the logit head: recovers
+    # stem_stride=4's part-map resolution (back to img/2) for the cost
+    # of the head alone at the finer grid — the quality fallback if the
+    # coarse maps miss the mIoU gate (docs/perf_ledger.md r3).
+    head_upsample: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from partseg_tpu.models.blocks import upsample2x
+
         hg = nn.remat(Hourglass) if self.remat else Hourglass
         x = _Stem(self.features, self.dtype, self.norm, self.stem_stride)(x)
         for _ in range(self.n_stacks):
             x = hg(self.depth, self.features, norm=self.norm, dtype=self.dtype)(x)
+        if self.head_upsample:
+            x = upsample2x(x)
         x = ConvBlock(self.features, kernel=1, dtype=self.dtype)(x)
         k = self.n_parts + (1 if self.background else 0)
         # Logit head in f32: feeds softmaxes directly.
@@ -82,13 +91,18 @@ class AppearanceEncoder(nn.Module):
     remat: bool = False
     norm: str = "block"
     stem_stride: int = 2
+    head_upsample: bool = False      # must match the shape encoder's
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from partseg_tpu.models.blocks import upsample2x
+
         hg = nn.remat(Hourglass) if self.remat else Hourglass
         x = _Stem(self.features, self.dtype, self.norm, self.stem_stride)(x)
         x = hg(self.depth, self.features, norm=self.norm, dtype=self.dtype)(x)
+        if self.head_upsample:
+            x = upsample2x(x)        # features must match the part masks' grid
         x = ConvBlock(self.features, kernel=1, dtype=self.dtype)(x)
         return nn.Conv(
             self.out_features, (1, 1), dtype=self.dtype, param_dtype=jnp.float32

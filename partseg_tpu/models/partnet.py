@@ -46,6 +46,9 @@ class PartNetConfig:
     # bandwidth-bound) at the cost of coarser part maps — quality-gated
     # per config (tools/validate_synthetic.py).
     stem_stride: int = 2
+    # 2× upsample before both encoders' heads: part maps back at
+    # img/(stem_stride/2) — the stem_stride=4 quality fallback.
+    head_upsample: bool = False
     decoder_scales: int = 4
     decoder_features: Any = (256, 128, 64, 32)  # channel pyramid coarse→fine
     # Reconstruction resolution. None = img_size. When the perceptual
@@ -81,7 +84,8 @@ class PartNetConfig:
 
     @property
     def map_size(self) -> int:
-        return self.img_size // self.stem_stride   # encoders emit at stem stride
+        s = self.img_size // self.stem_stride
+        return s * 2 if self.head_upsample else s
 
 
 class PartNetOutputs(flax.struct.PyTreeNode):
@@ -106,12 +110,14 @@ class PartNet(nn.Module):
         self.shape_enc = ShapeEncoder(
             n_parts=c.n_parts, background=c.background, depth=c.depth,
             features=c.features, n_stacks=c.n_stacks, remat=c.remat,
-            norm=c.norm, stem_stride=c.stem_stride, dtype=c.dtype,
+            norm=c.norm, stem_stride=c.stem_stride,
+            head_upsample=c.head_upsample, dtype=c.dtype,
         )
         self.app_enc = AppearanceEncoder(
             out_features=c.app_features, depth=c.depth,
             features=c.features, remat=c.remat, norm=c.norm,
-            stem_stride=c.stem_stride, dtype=c.dtype,
+            stem_stride=c.stem_stride, head_upsample=c.head_upsample,
+            dtype=c.dtype,
         )
         self.decoder = Decoder(
             out_size=c.decoder_out_size or c.img_size, n_scales=c.decoder_scales,

@@ -162,3 +162,14 @@ def test_train_step_with_64core_knobs():
     batch = {"image": jax.random.uniform(jax.random.key(1), (4, 16, 16, 3))}
     new_state, metrics = step(state, batch, jax.random.key(2))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_head_upsample_config():
+    # stem_stride=4 quality fallback: 2x-upsampled logit head restores
+    # img/2 part maps while the trunk stays at img/4.
+    cfg = dataclasses.replace(BASE, stem_stride=4, depth=1,
+                              head_upsample=True)
+    out = _forward(cfg)
+    assert out.logits_a.shape[1:3] == (8, 8)       # img/2, not img/4
+    assert out.appearance.shape[-1] == cfg.app_features
+    assert np.isfinite(np.asarray(out.recon, np.float32)).all()
