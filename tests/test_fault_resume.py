@@ -17,7 +17,7 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 def _run_cli(args, env):
     return subprocess.run(
         [sys.executable, "-m", "partseg_tpu.train.cli", *args],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=2400,
     )
 
 

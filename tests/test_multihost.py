@@ -28,7 +28,7 @@ def _run_pair(tmp_path, port):
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    outs = [p.communicate(timeout=2400)[0] for p in procs]
     assert all(p.returncode == 0 for p in procs), outs
     return [
         float((tmp_path / f"loss_{i}.txt").read_text()) for i in range(2)
@@ -108,7 +108,7 @@ def _run_train_pair(run_dir, port, fault_step=None, expect_rc=0):
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    outs = [p.communicate(timeout=2400)[0] for p in procs]
     assert all(p.returncode == expect_rc for p in procs), (
         [p.returncode for p in procs], outs)
     return outs
