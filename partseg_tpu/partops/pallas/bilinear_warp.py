@@ -124,34 +124,6 @@ def _kernel_tps_banded(img_ref, basis_ref, w_ref, out_ref, *, h, w, c,
 
 
 def _interp_body(img_ref, out_ref, fy, fx, *, h, w, c, tile, with_grads):
-    if not with_grads:
-        # PRIMAL fast path: TENT weights instead of one-hot selectors.
-        # w_y[t, y] = max(0, 1 − |y − clip(fy_t)|) is exactly the folded
-        # (1−wy)·[y==y0] + wy·[y==y1] matrix for border padding
-        # (clipping fy first reproduces the clamped-tap behavior at the
-        # edges), built from 2 elementwise passes instead of 4 int
-        # compares + 2 lerp folds — the kernel is VPU-, not MXU-, bound
-        # at these shapes (r3 banded A/B), so selector construction is
-        # a real share of its cost.
-        fyc = jnp.clip(fy, 0.0, float(h - 1))[:, None]       # [T, 1]
-        fxc = jnp.clip(fx, 0.0, float(w - 1))[:, None]
-        iota_h = jax.lax.broadcasted_iota(jnp.int32, (tile, h), 1)
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1)
-        w_y = jnp.maximum(
-            0.0, 1.0 - jnp.abs(iota_h.astype(jnp.float32) - fyc)
-        )                                                    # [T, H]
-        w_x = jnp.maximum(
-            0.0, 1.0 - jnp.abs(iota_w.astype(jnp.float32) - fxc)
-        )                                                    # [T, W]
-        mt = img_ref.dtype
-        rows = jnp.dot(
-            w_y.astype(mt), img_ref[0], preferred_element_type=jnp.float32
-        )
-        for ch in range(c):
-            seg = rows[:, ch * w : (ch + 1) * w]             # [T, W]
-            out_ref[0, ch] = jnp.sum(w_x * seg, axis=1).astype(out_ref.dtype)
-        return
-
     y0 = jnp.floor(fy)
     x0 = jnp.floor(fx)
     wy = (fy - y0)[:, None]                                  # [T, 1]
@@ -169,41 +141,55 @@ def _interp_body(img_ref, out_ref, fy, fx, *, h, w, c, tile, with_grads):
     oh_y1 = (iota_h == y1c).astype(jnp.float32)
     sx0 = (iota_w == x0c).astype(jnp.float32)                # [T, W]
     sx1 = (iota_w == x1c).astype(jnp.float32)
+    # Interpolation weights folded into the selector matrices.
+    w_y = oh_y0 + (oh_y1 - oh_y0) * wy                       # [T, H]
     w_x = sx0 + (sx1 - sx0) * wx                             # [T, W]
 
-    # img_ref holds [1, H, C*W] (channel-major rows): ONE matmul per
-    # y-tap interpolates all channels at once; the x-taps reduce per
+    # img_ref holds [1, H, C*W] (channel-major rows): ONE [T,H]@[H,C*W]
+    # matmul y-interpolates all channels at once; the x-taps reduce per
     # channel on static lane slices.
     #
-    # The matmuls run in the IMAGE's dtype: at bf16 the MXU is several
-    # times faster than f32 (the r1 f32 version measured 13 ms at
-    # B=128). bf16 selector entries {0, 1} are exact; only the weights
-    # and the image round to 8-bit mantissa — ~1e-3 relative output
-    # error, irrelevant for an augmentation producing bf16-consumed
-    # encoder inputs. Callers that need exactness (tests, f32
-    # pipelines) pass f32 images and get the bit-exact f32 path.
+    # The matmul runs in the IMAGE's dtype: at bf16 the MXU is several
+    # times faster than f32, and this kernel IS matmul-bound at 128px
+    # (2·N·H·C·W ≈ 1.6 GFLOP/image — the r1 f32 version measured 13 ms
+    # at B=128, matching f32 MXU rates). bf16 selector entries {0, 1}
+    # are exact; only the folded lerp weights and the image round to
+    # 8-bit mantissa — ~1e-3 relative output error, irrelevant for an
+    # augmentation producing bf16-consumed encoder inputs. Callers that
+    # need exactness (tests, f32 pipelines) pass f32 images and get the
+    # bit-exact f32 path.
     mt = img_ref.dtype
-    rows0 = jnp.dot(
-        oh_y0.astype(mt), img_ref[0], preferred_element_type=jnp.float32
-    )
-    rows1 = jnp.dot(
-        oh_y1.astype(mt), img_ref[0], preferred_element_type=jnp.float32
-    )
-    wy1 = wy[:, 0]
-    for ch in range(c):
-        s0 = rows0[:, ch * w : (ch + 1) * w]
-        s1 = rows1[:, ch * w : (ch + 1) * w]
-        top = jnp.sum(w_x * s0, axis=1)                      # [T]
-        bot = jnp.sum(w_x * s1, axis=1)
-        v00 = jnp.sum(sx0 * s0, axis=1)
-        v01 = jnp.sum(sx1 * s0, axis=1)
-        v10 = jnp.sum(sx0 * s1, axis=1)
-        v11 = jnp.sum(sx1 * s1, axis=1)
-        out_ref[0, ch] = top + (bot - top) * wy1
-        out_ref[0, c + ch] = bot - top
-        out_ref[0, 2 * c + ch] = (v01 - v00) + (
-            (v11 - v10) - (v01 - v00)
-        ) * wy1
+    if not with_grads:
+        rows = jnp.dot(
+            w_y.astype(mt), img_ref[0], preferred_element_type=jnp.float32
+        )
+        for ch in range(c):
+            seg = rows[:, ch * w : (ch + 1) * w]             # [T, W]
+            # Store in the output's dtype (bf16 for bf16 images): the
+            # [B, 8, N] result tensor and its transpose-out copy halve.
+            out_ref[0, ch] = jnp.sum(w_x * seg, axis=1).astype(out_ref.dtype)
+    else:
+        rows0 = jnp.dot(
+            oh_y0.astype(mt), img_ref[0], preferred_element_type=jnp.float32
+        )
+        rows1 = jnp.dot(
+            oh_y1.astype(mt), img_ref[0], preferred_element_type=jnp.float32
+        )
+        wy1 = wy[:, 0]
+        for ch in range(c):
+            s0 = rows0[:, ch * w : (ch + 1) * w]
+            s1 = rows1[:, ch * w : (ch + 1) * w]
+            top = jnp.sum(w_x * s0, axis=1)                  # [T]
+            bot = jnp.sum(w_x * s1, axis=1)
+            v00 = jnp.sum(sx0 * s0, axis=1)
+            v01 = jnp.sum(sx1 * s0, axis=1)
+            v10 = jnp.sum(sx0 * s1, axis=1)
+            v11 = jnp.sum(sx1 * s1, axis=1)
+            out_ref[0, ch] = top + (bot - top) * wy1
+            out_ref[0, c + ch] = bot - top
+            out_ref[0, 2 * c + ch] = (v01 - v00) + (
+                (v11 - v10) - (v01 - v00)
+            ) * wy1
 
 
 def _round_up(x: int, m: int) -> int:
