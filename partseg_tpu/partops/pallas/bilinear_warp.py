@@ -59,14 +59,16 @@ def _kernel_tps(img_ref, basis_ref, w_ref, out_ref, *, h, w, c, tile):
     its own tile's coords with one tiny [T, M] @ [M, 2] matmul from a
     shared basis block and the per-sample spline weights (~1 KB).
     """
-    # HIGHEST: axon lowers plain f32 dots to ONE bf16 MXU pass (measured
-    # ~4e-3 relative — fine for the big y-interp matmul whose weights are
-    # bf16 in production anyway, but here it would jitter the TAP
-    # COORDINATES by ~0.1-0.2 px). This matmul is [T, M]@[M, 2] — tiny —
-    # so full f32 precision costs nothing measurable.
+    # DEFAULT matmul precision (one bf16 MXU pass): jitters the tap
+    # coordinates by ~0.1-0.2 px — the same bf16-class jitter the XLA
+    # reference's flow einsum carries at TPU defaults, and the noise
+    # every r2/r3 quality validation trained through. HIGHEST was
+    # measured and REJECTED: the 2-column output pads to 128 MXU lanes,
+    # so "tiny [T,M]@[M,2]" is really [T,128]@[128,128]-shaped work and
+    # 6 passes cost 7,308 -> 6,015 img/s full-step. Exactness policy +
+    # probe method: docs/perf_ledger.md "on-chip kernel parity".
     crd = jnp.dot(
-        basis_ref[...], w_ref[0], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        basis_ref[...], w_ref[0], preferred_element_type=jnp.float32
     )                                                        # [T, 2]
     fy = (crd[:, 0] + 1.0) * (0.5 * h) - 0.5                 # [T]
     fx = (crd[:, 1] + 1.0) * (0.5 * w) - 0.5
@@ -91,14 +93,16 @@ def _kernel_tps_banded(img_ref, basis_ref, w_ref, out_ref, *, h, w, c,
     clamp, affecting only extreme-tail draws; parity vs the unbanded
     kernel on typical draws is tested in tests/partops.
     """
-    # HIGHEST: axon lowers plain f32 dots to ONE bf16 MXU pass (measured
-    # ~4e-3 relative — fine for the big y-interp matmul whose weights are
-    # bf16 in production anyway, but here it would jitter the TAP
-    # COORDINATES by ~0.1-0.2 px). This matmul is [T, M]@[M, 2] — tiny —
-    # so full f32 precision costs nothing measurable.
+    # DEFAULT matmul precision (one bf16 MXU pass): jitters the tap
+    # coordinates by ~0.1-0.2 px — the same bf16-class jitter the XLA
+    # reference's flow einsum carries at TPU defaults, and the noise
+    # every r2/r3 quality validation trained through. HIGHEST was
+    # measured and REJECTED: the 2-column output pads to 128 MXU lanes,
+    # so "tiny [T,M]@[M,2]" is really [T,128]@[128,128]-shaped work and
+    # 6 passes cost 7,308 -> 6,015 img/s full-step. Exactness policy +
+    # probe method: docs/perf_ledger.md "on-chip kernel parity".
     crd = jnp.dot(
-        basis_ref[...], w_ref[0], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        basis_ref[...], w_ref[0], preferred_element_type=jnp.float32
     )                                                        # [T, 2]
     fy = (crd[:, 0] + 1.0) * (0.5 * h) - 0.5                 # [T]
     fx = (crd[:, 1] + 1.0) * (0.5 * w) - 0.5
