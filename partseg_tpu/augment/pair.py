@@ -39,6 +39,13 @@ class AugmentConfig:
     # Optionally also TPS-warp the appearance view with an independent warp
     # (kept as a knob; default off = paper setup, SURVEY.md §7.4 risk 1).
     warp_appearance_view: bool = False
+    # Apply the TPS warp only on every N-th step (perf knob; the warp
+    # custom call is ~32% of the r3 speed step). On off-steps x_s is the
+    # un-warped image and the returned transform is the exact identity,
+    # so the equivariance loss degrades gracefully into a color-jitter
+    # invariance term. 1 = paper setup (warp every step). Quality-gated
+    # like every other speed rung (tools/quality_study.py).
+    warp_every: int = 1
     padding_mode: str = "border"
     warp_impl: str = "auto"   # "auto" | "fused" | "gather"
 
@@ -57,6 +64,7 @@ def make_pair(
     key: jax.Array,
     sampler: TPSSampler,
     cfg: AugmentConfig,
+    warp_gate: jax.Array | None = None,
 ) -> dict[str, Any]:
     """Produce the coupled (x_s, x_a) views + transform params.
 
@@ -65,6 +73,11 @@ def make_pair(
       key: one PRNG key — the single source of the pairing.
       sampler: TPSSampler built from cfg (hoisted out so its
         precomputed basis constants are jit-time constants).
+      warp_gate: optional scalar bool (traced). When False, the warp
+        kernel is SKIPPED at runtime (lax.cond) and the returned tps is
+        the exact identity, so downstream equivariance transport stays
+        consistent with what was applied. None = always warp (and no
+        cond in the graph at all).
 
     Returns dict:
       x_s: spatially warped view, x_a: color-jittered view,
@@ -91,7 +104,24 @@ def make_pair(
             k_col, b, cfg.brightness, cfg.contrast, cfg.saturation, cfg.hue
         )
 
-    x_s = sampler.warp(tps, x, padding_mode=cfg.padding_mode, impl=cfg.warp_impl)
+    if warp_gate is not None:
+        ident = sampler.identity(b)
+        tps = jax.tree.map(
+            lambda s, i: jnp.where(warp_gate, s, i.astype(s.dtype)), tps, ident
+        )
+
+    def _warp(params: TPSParams, img: jax.Array) -> jax.Array:
+        return sampler.warp(
+            params, img, padding_mode=cfg.padding_mode, impl=cfg.warp_impl
+        )
+
+    if warp_gate is None:
+        x_s = _warp(tps, x)
+    else:
+        # lax.cond executes ONE branch at runtime: off-steps skip the
+        # warp custom call entirely (it is the single largest non-conv
+        # item in the r3 step trace, docs/perf_ledger.md).
+        x_s = jax.lax.cond(warp_gate, lambda im: _warp(tps, im), lambda im: im, x)
     x_a = color_jitter(x, col)
     if cfg.warp_appearance_view:
         tps2 = (
@@ -99,7 +129,11 @@ def make_pair(
             if per_sample
             else sampler.sample(k_tps2, b)
         )
-        x_a = sampler.warp(tps2, x_a, padding_mode=cfg.padding_mode,
-                           impl=cfg.warp_impl)
+        if warp_gate is None:
+            x_a = _warp(tps2, x_a)
+        else:
+            x_a = jax.lax.cond(
+                warp_gate, lambda im: _warp(tps2, im), lambda im: im, x_a
+            )
 
     return {"x_s": x_s, "x_a": x_a, "tps": tps, "color": col}

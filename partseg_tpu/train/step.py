@@ -47,7 +47,7 @@ def make_train_step(
     optimizer = make_optimizer(cfg.optim)
     lw = cfg.loss
 
-    def loss_fn(params, batch: dict, key: jax.Array):
+    def loss_fn(params, batch: dict, key: jax.Array, warp_gate=None):
         images = batch["image"]
         if images.dtype == jnp.uint8:
             # uint8 host batches (native loader fast path): 4× smaller
@@ -70,7 +70,8 @@ def make_train_step(
             # The ORIGINAL f32 images stay the reconstruction target.
             pair = jax.lax.stop_gradient(
                 make_pair(
-                    images.astype(cfg.model.dtype), key, sampler, cfg.augment
+                    images.astype(cfg.model.dtype), key, sampler, cfg.augment,
+                    warp_gate=warp_gate,
                 )
             )
         with jax.named_scope("model"):
@@ -110,8 +111,14 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: dict, key: jax.Array):
         key = jax.random.fold_in(key, state.step)
+        # warp_every > 1: TPS-warp only every N-th step (off-steps skip
+        # the warp kernel via lax.cond and train with the identity
+        # transform — see AugmentConfig.warp_every).
+        warp_gate = None
+        if cfg.augment.warp_every > 1:
+            warp_gate = (state.step % cfg.augment.warp_every) == 0
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key
+            state.params, batch, key, warp_gate
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)

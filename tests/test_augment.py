@@ -146,3 +146,42 @@ def test_make_pair_jits():
 
     out = f(img, jax.random.key(0))
     assert out.shape == img.shape
+
+
+def test_make_pair_warp_gate():
+    # AugmentConfig.warp_every support: gate OFF must skip the warp at
+    # runtime (x_s is bit-for-bit the input) and return the EXACT
+    # identity transform so equivariance transport matches what was
+    # applied; gate ON must match the ungated path bit-for-bit.
+    cfg = AugmentConfig()
+    sampler = cfg.make_sampler()
+    img = jax.random.uniform(jax.random.key(11), (2, 32, 32, 3))
+    key = jax.random.key(7)
+
+    off = make_pair(img, key, sampler, cfg, warp_gate=jnp.asarray(False))
+    np.testing.assert_array_equal(np.asarray(off["x_s"]), np.asarray(img))
+    ident = sampler.identity(2)
+    np.testing.assert_allclose(
+        np.asarray(off["tps"].weights), np.asarray(ident.weights), atol=1e-6
+    )
+    # Identity transport really is the identity on points.
+    pts = jax.random.uniform(jax.random.key(3), (2, 5, 2), minval=-1, maxval=1)
+    np.testing.assert_allclose(
+        np.asarray(sampler.transform_points(off["tps"], pts)),
+        np.asarray(pts), atol=1e-5,
+    )
+    # Color jitter still applies on off-steps.
+    assert np.abs(np.asarray(off["x_a"]) - np.asarray(img)).max() > 1e-3
+
+    # Gate ON matches the ungated path (allclose, not bitwise: the warp
+    # compiles inside a lax.cond branch there, so XLA may fuse it
+    # differently).
+    on = make_pair(img, key, sampler, cfg, warp_gate=jnp.asarray(True))
+    ref = make_pair(img, key, sampler, cfg)
+    np.testing.assert_allclose(
+        np.asarray(on["x_s"]), np.asarray(ref["x_s"]), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(on["tps"].weights), np.asarray(ref["tps"].weights)
+    )
+    np.testing.assert_array_equal(np.asarray(on["x_a"]), np.asarray(ref["x_a"]))

@@ -238,3 +238,35 @@ def test_train_loop_spatial_mesh(tmp_path):
     assert np.isfinite(
         np.asarray(jax.tree.leaves(state.params)[0], np.float32)
     ).all()
+
+
+def test_warp_every_step_gating():
+    # augment.warp_every=2: even steps match the warp_every=1 step
+    # exactly (gate ON selects the same graph values); the next (odd)
+    # step gates the warp OFF and still trains (finite loss/grads).
+    import dataclasses
+
+    cfg1 = TINY
+    cfg2 = dataclasses.replace(
+        TINY, augment=dataclasses.replace(TINY.augment, warp_every=2)
+    )
+    img = np.random.default_rng(3).uniform(0, 1, (8, 16, 16, 3)).astype(np.float32)
+    batch = {"image": jnp.asarray(img)}
+    key = jax.random.key(5)
+
+    _, s1, f1 = _build(cfg1)
+    _, s2, f2 = _build(cfg2)
+    s1_a, m1 = jax.jit(f1)(s1, batch, key)
+    s2_a, m2 = jax.jit(f2)(s2, batch, key)
+    # step 0 is a warp step for both: identical loss to float tolerance.
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+    )
+    # step 1 gates the warp off under warp_every=2: still finite, and
+    # measurably different from the warped step.
+    s2_b, m2b = jax.jit(f2)(s2_a, batch, key)
+    _, m1b = jax.jit(f1)(s1_a, batch, key)
+    assert np.isfinite(float(m2b["loss"]))
+    assert abs(float(m2b["loss"]) - float(m1b["loss"])) > 0
+    leaves = jax.tree.leaves(s2_b.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
