@@ -91,6 +91,38 @@ VARIANTS_128 = {
         SPEED128 + ["model.decoder_out_size=64", "model.stem_stride=4"],
         None,
     ),
+    # r4 candidate rungs (docs/perf_ledger.md "written path to 8,000").
+    # Rates must come from bench.py runs via --rate.
+    "speed128_r3_we2": (
+        SPEED128
+        + [
+            "model.decoder_out_size=64",
+            "model.stem_stride=4",
+            "augment.warp_every=2",
+        ],
+        None,
+    ),
+    "speed128_r3_v1": (
+        SPEED128
+        + [
+            "model.decoder_out_size=64",
+            "model.stem_stride=4",
+            "loss.vgg_layers=('relu1_2',)",
+            "loss.vgg_trim_blocks=1",
+        ],
+        None,
+    ),
+    "speed128_r4": (
+        SPEED128
+        + [
+            "model.decoder_out_size=64",
+            "model.stem_stride=4",
+            "augment.warp_every=2",
+            "loss.vgg_layers=('relu1_2',)",
+            "loss.vgg_trim_blocks=1",
+        ],
+        None,
+    ),
 }
 
 
@@ -138,11 +170,28 @@ def main_64(steps: int, base_dir: str):
 
 
 def main_128(base_steps: int, base_dir: str, variants: list[str],
-             rates: dict[str, float] | None = None):
+             rates: dict[str, float] | None = None,
+             anchor_json: str | None = None):
     """Equal-WALL-CLOCK study: variant v trains
     base_steps × rate_v / rate_flagship steps (same global batch, so
-    steps/s ∝ img/s/chip)."""
+    steps/s ∝ img/s/chip).
+
+    anchor_json: path to a prior run's result.json; its rows are
+    reused for any variant not re-listed in --variants (same protocol:
+    base_steps must match), so new rungs can be gated against the
+    archived flagship anchor without retraining it.
+    """
     rates = rates or {}
+    prior_rows = {}
+    if anchor_json:
+        with open(anchor_json) as f:
+            prior = json.load(f)
+        if prior.get("base_steps") != base_steps:
+            raise SystemExit(
+                f"anchor {anchor_json} ran base_steps={prior.get('base_steps')}"
+                f" != {base_steps}; rows are not comparable"
+            )
+        prior_rows = prior["rows"]
     sel = {}
     for name in variants:
         ov, rate = VARIANTS_128[name]
@@ -153,11 +202,14 @@ def main_128(base_steps: int, base_dir: str, variants: list[str],
                 f"--rate {name}=<img/s/chip> from a bench.py run"
             )
         sel[name] = (ov, rate)
-    if "flagship" not in sel:
+    if "flagship" not in sel and "flagship" not in prior_rows:
         raise SystemExit("the 128px study needs the flagship anchor")
 
-    flag_rate = sel["flagship"][1]
-    rows = {}
+    flag_rate = (
+        sel["flagship"][1] if "flagship" in sel
+        else prior_rows["flagship"]["img_s_chip"]
+    )
+    rows = {k: dict(v) for k, v in prior_rows.items() if k not in sel}
     for name, (ov, rate) in sel.items():
         steps = max(1, round(base_steps * rate / flag_rate))
         rows[name] = run_variant(name, PX128_BASE + ov, steps, base_dir)
@@ -186,6 +238,9 @@ def main_128(base_steps: int, base_dir: str, variants: list[str],
         "fastest_passing_variant": fastest_pass,
         "gate_pass": bool(passing),
     }
+    os.makedirs(base_dir, exist_ok=True)
+    with open(os.path.join(base_dir, "result.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
     print(json.dumps(result))
     return result
 
@@ -206,6 +261,9 @@ if __name__ == "__main__":
     ap.add_argument("--rate", action="append", default=[],
                     metavar="NAME=IMG_S", help="override/provide a "
                     "variant's measured bench rate")
+    ap.add_argument("--anchor_json", default=None,
+                    help="reuse rows (incl. the flagship anchor) from a "
+                         "prior result.json instead of retraining them")
     a = ap.parse_args()
     if a.px == 64:
         r = main_64(a.steps, a.base_dir)
@@ -213,5 +271,6 @@ if __name__ == "__main__":
         rates = dict(
             (k, float(v)) for k, v in (s.split("=") for s in a.rate)
         )
-        r = main_128(a.base_steps, a.base_dir, a.variants.split(","), rates)
+        r = main_128(a.base_steps, a.base_dir, a.variants.split(","), rates,
+                     anchor_json=a.anchor_json)
     raise SystemExit(0 if r["gate_pass"] else 1)
