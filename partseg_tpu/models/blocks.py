@@ -40,6 +40,43 @@ class ConvBlock(nn.Module):
         )(x)
 
 
+@jax.custom_vjp
+def f8_store(x: jax.Array) -> jax.Array:
+    """Storage-only float8 quantization at a fusion boundary.
+
+    The value that crosses the XLA fusion boundary (and that the
+    backward pass re-reads) becomes float8_e4m3; both the down- and
+    up-cast fuse into the producer/consumer fusions, so the materialized
+    HBM buffer halves vs bf16 while all COMPUTE stays in the surrounding
+    ops' dtype. The gradient is straight-through (identity): without the
+    custom VJP, JAX's convert_element_type transpose would round the
+    cotangent through f8 as well, quantizing gradients — a separate
+    experiment we do not want bundled in.
+    """
+    return x.astype(jnp.float8_e4m3fn).astype(x.dtype)
+
+
+def _f8_store_fwd(x):
+    return f8_store(x), None
+
+
+def _f8_store_bwd(_, g):
+    return (g,)
+
+
+f8_store.defvjp(_f8_store_fwd, _f8_store_bwd)
+
+
+def quantize_activation(x: jax.Array, act_quant: str) -> jax.Array:
+    """Apply the configured activation-storage quantization (perf knob:
+    the train step is HBM-bandwidth-bound, docs/perf_ledger.md)."""
+    if act_quant == "none":
+        return x
+    if act_quant == "f8":
+        return f8_store(x)
+    raise ValueError(f"unknown act_quant mode: {act_quant!r}")
+
+
 class ResBlock(nn.Module):
     """Pre-activation residual block (the hourglass workhorse).
 
@@ -50,10 +87,16 @@ class ResBlock(nn.Module):
     "block" = ONE GN at block entry (default — GN is ~45% of the trunk's
     backward time on TPU and once per block normalizes just as well);
     "none" = no normalization.
+
+    act_quant: "none" | "f8" — quantize the block OUTPUT for storage
+    (see f8_store). The block-entry GN re-normalizes whatever rounding
+    the previous block's exit introduced, which is why the boundary
+    sits here.
     """
 
     features: int
     norm: str = "block"
+    act_quant: str = "none"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -70,7 +113,7 @@ class ResBlock(nn.Module):
             x = nn.Conv(
                 self.features, (1, 1), dtype=self.dtype, param_dtype=jnp.float32
             )(x)
-        return x + y
+        return quantize_activation(x + y, self.act_quant)
 
 
 def upsample2x(x: jax.Array) -> jax.Array:

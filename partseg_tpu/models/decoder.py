@@ -46,6 +46,7 @@ class Decoder(nn.Module):
     # the single largest HBM object in the r2 trace — for a ResBlock
     # that immediately projects to 32 channels anyway.
     app_proj: bool = True
+    act_quant: str = "none"
     dtype: Any = jnp.bfloat16
 
     def _feat(self, i: int) -> int:
@@ -84,7 +85,9 @@ class Decoder(nn.Module):
                 )
                 feat = assemble_decoder_input(blobs, a_i)   # [B, res, res, f]
             x = feat if x is None else jnp.concatenate([upsample2x(x), feat], axis=-1)
-            x = ResBlock(f, norm=self.norm, dtype=self.dtype)(x)
-            x = ResBlock(f, norm=self.norm, dtype=self.dtype)(x)
+            x = ResBlock(f, norm=self.norm, act_quant=self.act_quant,
+                         dtype=self.dtype)(x)
+            x = ResBlock(f, norm=self.norm, act_quant=self.act_quant,
+                         dtype=self.dtype)(x)
         rgb = nn.Conv(3, (1, 1), dtype=jnp.float32, param_dtype=jnp.float32)(x)
         return nn.sigmoid(rgb)

@@ -33,6 +33,7 @@ class _Stem(nn.Module):
     dtype: Any
     norm: str = "block"
     stride: int = 2
+    act_quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -45,7 +46,8 @@ class _Stem(nn.Module):
         x = nn.Conv(
             self.features // 2, (3, 3), dtype=self.dtype, param_dtype=jnp.float32
         )(x)
-        return ResBlock(self.features, norm=self.norm, dtype=self.dtype)(x)
+        return ResBlock(self.features, norm=self.norm,
+                        act_quant=self.act_quant, dtype=self.dtype)(x)
 
 
 class ShapeEncoder(nn.Module):
@@ -64,6 +66,7 @@ class ShapeEncoder(nn.Module):
     # of the head alone at the finer grid — the quality fallback if the
     # coarse maps miss the mIoU gate (docs/perf_ledger.md r3).
     head_upsample: bool = False
+    act_quant: str = "none"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -71,9 +74,11 @@ class ShapeEncoder(nn.Module):
         from partseg_tpu.models.blocks import upsample2x
 
         hg = nn.remat(Hourglass) if self.remat else Hourglass
-        x = _Stem(self.features, self.dtype, self.norm, self.stem_stride)(x)
+        x = _Stem(self.features, self.dtype, self.norm, self.stem_stride,
+                  self.act_quant)(x)
         for _ in range(self.n_stacks):
-            x = hg(self.depth, self.features, norm=self.norm, dtype=self.dtype)(x)
+            x = hg(self.depth, self.features, norm=self.norm,
+                   act_quant=self.act_quant, dtype=self.dtype)(x)
         if self.head_upsample:
             x = upsample2x(x)
         x = ConvBlock(self.features, kernel=1, dtype=self.dtype)(x)
@@ -92,6 +97,7 @@ class AppearanceEncoder(nn.Module):
     norm: str = "block"
     stem_stride: int = 2
     head_upsample: bool = False      # must match the shape encoder's
+    act_quant: str = "none"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -99,8 +105,10 @@ class AppearanceEncoder(nn.Module):
         from partseg_tpu.models.blocks import upsample2x
 
         hg = nn.remat(Hourglass) if self.remat else Hourglass
-        x = _Stem(self.features, self.dtype, self.norm, self.stem_stride)(x)
-        x = hg(self.depth, self.features, norm=self.norm, dtype=self.dtype)(x)
+        x = _Stem(self.features, self.dtype, self.norm, self.stem_stride,
+                  self.act_quant)(x)
+        x = hg(self.depth, self.features, norm=self.norm,
+               act_quant=self.act_quant, dtype=self.dtype)(x)
         if self.head_upsample:
             x = upsample2x(x)        # features must match the part masks' grid
         x = ConvBlock(self.features, kernel=1, dtype=self.dtype)(x)

@@ -24,21 +24,25 @@ class Hourglass(nn.Module):
     depth: int = 4
     features: int = 128
     norm: str = "block"          # ResBlock norm mode (perf knob)
+    act_quant: str = "none"      # ResBlock output storage dtype (perf knob)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        f, dt, nm = self.features, self.dtype, self.norm
+        f, dt, nm, aq = self.features, self.dtype, self.norm, self.act_quant
+
+        def block(x):
+            return ResBlock(f, norm=nm, act_quant=aq, dtype=dt)(x)
 
         def level(x: jax.Array, d: int) -> jax.Array:
-            up = ResBlock(f, norm=nm, dtype=dt)(x)
+            up = block(x)
             # nn.avg_pool beats a reshape-mean here (measured 815 vs 789
             # img/s/chip full-step — trace attribution of reduce_window
             # cost was misleading; XLA fuses it well in-graph).
             low = nn.avg_pool(x, (2, 2), strides=(2, 2))
-            low = ResBlock(f, norm=nm, dtype=dt)(low)
-            low = level(low, d - 1) if d > 1 else ResBlock(f, norm=nm, dtype=dt)(low)
-            low = ResBlock(f, norm=nm, dtype=dt)(low)
+            low = block(low)
+            low = level(low, d - 1) if d > 1 else block(low)
+            low = block(low)
             return up + upsample2x(low)
 
         return level(x, self.depth)

@@ -80,6 +80,12 @@ class PartNetConfig:
     # "group" (GN before every conv), "none" (perf probe — GN is a
     # measurable share of the memory-bound step cost).
     norm: str = "block"
+    # Activation STORAGE quantization at ResBlock boundaries: "none" |
+    # "f8" (float8_e4m3 fusion-boundary buffers, straight-through grad —
+    # blocks.f8_store). The step is HBM-bandwidth-bound; f8 halves the
+    # inter-block bytes while compute stays in `dtype`. Quality-gated
+    # per config like every bandwidth knob.
+    act_quant: str = "none"
     dtype: Any = jnp.bfloat16
 
     @property
@@ -111,18 +117,20 @@ class PartNet(nn.Module):
             n_parts=c.n_parts, background=c.background, depth=c.depth,
             features=c.features, n_stacks=c.n_stacks, remat=c.remat,
             norm=c.norm, stem_stride=c.stem_stride,
-            head_upsample=c.head_upsample, dtype=c.dtype,
+            head_upsample=c.head_upsample, act_quant=c.act_quant,
+            dtype=c.dtype,
         )
         self.app_enc = AppearanceEncoder(
             out_features=c.app_features, depth=c.depth,
             features=c.features, remat=c.remat, norm=c.norm,
             stem_stride=c.stem_stride, head_upsample=c.head_upsample,
-            dtype=c.dtype,
+            act_quant=c.act_quant, dtype=c.dtype,
         )
         self.decoder = Decoder(
             out_size=c.decoder_out_size or c.img_size, n_scales=c.decoder_scales,
             features=c.decoder_features, render_kernel=c.render_kernel,
-            use_pallas=c.use_pallas, norm=c.norm, dtype=c.dtype,
+            use_pallas=c.use_pallas, norm=c.norm, act_quant=c.act_quant,
+            dtype=c.dtype,
         )
 
     # ------------------------------------------------------------- components

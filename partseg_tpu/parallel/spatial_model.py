@@ -165,6 +165,7 @@ def sharded_shape_encoder(
     n_stacks: int = 1,
     norm: str = "block",
     stem_stride: int = 2,
+    head_upsample: bool = False,
     axis_name: str = SPACE_AXIS,
 ) -> jax.Array:
     """ShapeEncoder forward on a ROW SHARD of the input image.
@@ -191,6 +192,11 @@ def sharded_shape_encoder(
     x = _stem(x, p["_Stem_0"], axis_name, norm, stem_stride)
     for i in range(n_stacks):
         x = _hourglass(x, p[f"Hourglass_{i}"], depth, axis_name, norm)
+    if head_upsample:
+        # encoders.py head_upsample: 2x NN upsample before the head.
+        # Row-local (each output row depends on exactly one input row),
+        # so the sharded form is EXACT on row shards.
+        x = _upsample2(x)
     # The logit-head ConvBlock always carries GN (encoders.py uses the
     # ConvBlock default norm="group" there regardless of the trunk mode).
     x = _convblock(x, p["ConvBlock_0"], axis_name, "group")
@@ -205,6 +211,7 @@ def sharded_appearance_encoder(
     depth: int = 4,
     norm: str = "block",
     stem_stride: int = 2,
+    head_upsample: bool = False,
     axis_name: str = SPACE_AXIS,
 ) -> jax.Array:
     """AppearanceEncoder forward on a ROW SHARD (models/encoders.py):
@@ -214,5 +221,7 @@ def sharded_appearance_encoder(
     p = params["params"] if "params" in params else params
     x = _stem(x, p["_Stem_0"], axis_name, norm, stem_stride)
     x = _hourglass(x, p["Hourglass_0"], depth, axis_name, norm)
+    if head_upsample:
+        x = _upsample2(x)            # row-local, exact (see shape encoder)
     x = _convblock(x, p["ConvBlock_0"], axis_name, "group")
     return _conv(x, p["Conv_0"], axis_name)

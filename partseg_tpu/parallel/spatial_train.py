@@ -218,14 +218,22 @@ def sharded_partnet_forward(params, x_s, x_a, cfg, axis_name: str = SPACE_AXIS):
     """PartNet.__call__ (models/partnet.py) on row shards. Returns the
     output fields the losses consume (all μ/Σ/appearance replicated;
     image-like fields row-sharded)."""
+    if getattr(cfg, "act_quant", "none") != "none":
+        raise ValueError(
+            "spatial sharding does not implement activation-storage "
+            f"quantization (act_quant={cfg.act_quant!r}); train spatial "
+            "configs with act_quant='none' — a silent numeric mismatch "
+            "vs the Flax forward is worse than this error"
+        )
     p = params["params"] if "params" in params else params
     b = x_s.shape[0]
-    h_map_g = cfg.img_size // cfg.stem_stride
+    h_map_g = cfg.map_size                 # includes head_upsample's 2x
 
     logits_both = sharded_shape_encoder(
         p["shape_enc"], jnp.concatenate([x_a, x_s], axis=0),
         depth=cfg.depth, n_stacks=cfg.n_stacks, norm=cfg.norm,
-        stem_stride=cfg.stem_stride, axis_name=axis_name,
+        stem_stride=cfg.stem_stride, head_upsample=cfg.head_upsample,
+        axis_name=axis_name,
     )
     logits_a, logits_s = logits_both[:b], logits_both[b:]
     k = cfg.n_parts
@@ -235,7 +243,8 @@ def sharded_partnet_forward(params, x_s, x_a, cfg, axis_name: str = SPACE_AXIS):
 
     feats_s = sharded_appearance_encoder(
         p["app_enc"], x_s, depth=cfg.depth, norm=cfg.norm,
-        stem_stride=cfg.stem_stride, axis_name=axis_name,
+        stem_stride=cfg.stem_stride, head_upsample=cfg.head_upsample,
+        axis_name=axis_name,
     )
     seg = jax.nn.softmax(logits_s.astype(jnp.float32), axis=-1)
     masks_s = seg[..., :k] if cfg.pool_masks == "pixel" else parts_s
@@ -308,12 +317,12 @@ def make_spatial_train_step(
             logits_sw = sharded_shape_encoder(
                 p["shape_enc"], recon_sw.astype(mc.dtype), depth=mc.depth,
                 n_stacks=mc.n_stacks, norm=mc.norm,
-                stem_stride=mc.stem_stride, axis_name=space_axis,
+                stem_stride=mc.stem_stride, head_upsample=mc.head_upsample,
+                axis_name=space_axis,
             )
             out_size = mc.decoder_out_size or mc.img_size
-            _, mu_sw, _ = _sharded_stats(
-                logits_sw, mc, out_size // mc.stem_stride, space_axis
-            )
+            h_sw = (out_size // mc.stem_stride) * (2 if mc.head_upsample else 1)
+            _, mu_sw, _ = _sharded_stats(logits_sw, mc, h_sw, space_axis)
             l_swap = jnp.mean(
                 jnp.sum(
                     (mu_sw - out["mu_a"].astype(jnp.float32)) ** 2, axis=-1

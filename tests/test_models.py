@@ -137,3 +137,53 @@ def test_partnet_divide_normalization_knob():
     np.testing.assert_allclose(
         np.asarray(out.parts_a.sum(axis=(1, 2))), 1.0, rtol=1e-4
     )
+
+
+def test_f8_store_values_and_straight_through_grad():
+    # blocks.f8_store: value = a genuine float8_e4m3 roundtrip; grad =
+    # identity (WITHOUT the custom VJP the convert transpose would
+    # quantize the cotangent through f8 too).
+    from partseg_tpu.models.blocks import f8_store, quantize_activation
+
+    x = jnp.array([0.1, 1.7, -3.3, 400.0], jnp.bfloat16)
+    y = f8_store(x)
+    assert y.dtype == x.dtype
+    np.testing.assert_array_equal(
+        np.asarray(x.astype(jnp.float8_e4m3fn).astype(jnp.bfloat16)),
+        np.asarray(y),
+    )
+    g = jax.grad(lambda v: f8_store(v).astype(jnp.float32).sum())(x)
+    np.testing.assert_array_equal(np.asarray(g, np.float32), 1.0)
+    # knob plumbing
+    assert quantize_activation(x, "none") is x
+    with pytest.raises(ValueError, match="act_quant"):
+        quantize_activation(x, "int4")
+
+
+def test_partnet_act_quant_f8_forward_and_grad():
+    # The act_quant="f8" model (the r4 bandwidth probe) must train:
+    # finite forward, finite nonzero grads, and outputs CLOSE to the
+    # unquantized model at init (same params — act_quant adds none).
+    import dataclasses
+
+    cfg8 = dataclasses.replace(CFG, act_quant="f8")
+    model8, model = PartNet(cfg8), PartNet(CFG)
+    x = jax.random.uniform(jax.random.key(7), (2, 32, 32, 3))
+    params = model.init(jax.random.key(0), x, x)   # identical param tree
+    out8 = model8.apply(params, x, x)
+    out = model.apply(params, x, x)
+    assert np.all(np.isfinite(np.asarray(out8.recon, np.float32)))
+    # f8 e4m3 keeps ~2 decimal digits; the part distributions must stay
+    # functionally unchanged at init.
+    np.testing.assert_allclose(
+        np.asarray(out8.mu_a), np.asarray(out.mu_a), atol=0.1
+    )
+
+    def loss(p):
+        o = model8.apply(p, x, x)
+        return jnp.mean((o.recon - x.astype(o.recon.dtype)) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l, np.float32))) for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)

@@ -372,3 +372,61 @@ def test_sharded_shape_encoder_stem_stride4():
     got = fn(x)
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_sharded_encoders_head_upsample():
+    # head_upsample=True checkpoints (the stem_stride=4 quality
+    # fallback) must run exactly through BOTH sharded encoders — the 2x
+    # NN upsample is row-local, so row shards stay exact. Before this
+    # was implemented the sharded forward silently computed the
+    # head at the coarse grid (wrong values, right param tree).
+    from partseg_tpu.models.encoders import AppearanceEncoder, ShapeEncoder
+    from partseg_tpu.parallel.spatial_model import (
+        sharded_appearance_encoder,
+        sharded_shape_encoder,
+    )
+
+    x = jax.random.uniform(jax.random.key(40), (2, 64, 32, 3))
+
+    enc = ShapeEncoder(n_parts=3, background=True, depth=1, features=16,
+                       n_stacks=1, stem_stride=4, head_upsample=True,
+                       dtype=jnp.float32)
+    params = enc.init(jax.random.key(41), x)
+    want = enc.apply(params, x)
+    got = _smap(
+        lambda xs: sharded_shape_encoder(
+            params, xs, depth=1, stem_stride=4, head_upsample=True
+        ),
+        (ROWS,), ROWS,
+    )(x)
+    assert got.shape == want.shape        # 2x the coarse grid
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+    app = AppearanceEncoder(out_features=8, depth=1, features=16,
+                            stem_stride=4, head_upsample=True,
+                            dtype=jnp.float32)
+    aparams = app.init(jax.random.key(42), x)
+    awant = app.apply(aparams, x)
+    agot = _smap(
+        lambda xs: sharded_appearance_encoder(
+            aparams, xs, depth=1, stem_stride=4, head_upsample=True
+        ),
+        (ROWS,), ROWS,
+    )(x)
+    assert agot.shape == awant.shape
+    np.testing.assert_allclose(np.asarray(agot), np.asarray(awant), atol=2e-4)
+
+
+def test_spatial_forward_rejects_act_quant():
+    # Activation-storage quantization is not implemented in the sharded
+    # reimplementation; it must refuse loudly (same contract as the
+    # norm-mode capability check).
+    import pytest
+
+    from partseg_tpu.models.partnet import PartNetConfig
+    from partseg_tpu.parallel.spatial_train import sharded_partnet_forward
+
+    cfg = PartNetConfig(n_parts=3, img_size=32, features=16, depth=1,
+                        act_quant="f8")
+    with pytest.raises(ValueError, match="act_quant"):
+        sharded_partnet_forward({}, None, None, cfg)
