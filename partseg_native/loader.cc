@@ -48,7 +48,18 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jmp, 1);
 }
 
-bool decode_jpeg(const uint8_t* data, size_t len, Image* out) {
+// Decode, optionally at a reduced N/8 scale straight out of the DCT
+// domain (libjpeg-turbo honors any scale_num 1..8 over scale_denom 8).
+// The scale is chosen as the smallest N/8 that keeps the eventual crop
+// at least `out_size` pixels on a side, so the bilinear resize that
+// follows only ever downsamples: IDCT-domain scaling is an area-style
+// filter, so quality matches (usually beats) full decode + bilinear
+// subsample while touching N²/64 of the pixels. `crop_side <= 0` means
+// center crop (side = min(w, h)). On return *scale_r holds the applied
+// ratio so the caller can rescale explicit crop coordinates.
+bool decode_jpeg(const uint8_t* data, size_t len, Image* out,
+                 float crop_side, int out_size, bool scaled,
+                 float* scale_r) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -64,6 +75,24 @@ bool decode_jpeg(const uint8_t* data, size_t len, Image* out) {
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
+  *scale_r = 1.0f;
+  if (scaled && out_size > 0) {
+    const float full_min =
+        float(cinfo.image_width < cinfo.image_height ? cinfo.image_width
+                                                     : cinfo.image_height);
+    float side = crop_side <= 0.f ? full_min
+                                  : (crop_side < full_min ? crop_side
+                                                          : full_min);
+    if (side > float(out_size)) {
+      int num = int((8.0 * out_size + side - 1) / side);  // ceil(8*out/side)
+      if (num < 1) num = 1;
+      if (num < 8) {
+        cinfo.scale_num = num;
+        cinfo.scale_denom = 8;
+        *scale_r = num / 8.0f;
+      }
+    }
+  }
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
@@ -198,6 +227,7 @@ struct Result {
 
 struct Pool {
   int out_size;
+  bool scaled_decode;
   size_t capacity;
   std::vector<std::thread> threads;
   std::deque<Job> jobs;
@@ -229,15 +259,25 @@ struct Pool {
         if (len > 0 && fread(buf.data(), 1, len, f) == size_t(len)) {
           Image img;
           bool ok = false;
+          float r = 1.0f;
           if (len > 3 && buf[0] == 0xFF && buf[1] == 0xD8) {
-            ok = decode_jpeg(buf.data(), buf.size(), &img);
+            ok = decode_jpeg(buf.data(), buf.size(), &img, job.side,
+                             out_size, scaled_decode, &r);
           } else if (len > 8 && !png_sig_cmp(buf.data(), 0, 8)) {
             ok = decode_png(buf.data(), buf.size(), &img);
           }
           if (ok && img.w > 0 && img.h > 0) {
             res.pixels.resize(size_t(out_size) * out_size * 3);
-            crop_resize(img, job.cx, job.cy, job.side, out_size,
-                        res.pixels.data());
+            // Explicit bbox coordinates arrive in FULL-resolution
+            // pixels; map them onto the (possibly N/8-scaled) decode.
+            // Center crops (side <= 0) are scale-invariant.
+            float cx = job.cx, cy = job.cy, side = job.side;
+            if (side > 0.f && r != 1.0f) {
+              cx *= r;
+              cy *= r;
+              side *= r;
+            }
+            crop_resize(img, cx, cy, side, out_size, res.pixels.data());
             res.ok = 1;
           }
         }
@@ -258,9 +298,11 @@ struct Pool {
 
 extern "C" {
 
-void* psn_create(int n_threads, int out_size, int capacity) {
+void* psn_create(int n_threads, int out_size, int capacity,
+                 int scaled_decode) {
   auto* p = new Pool;
   p->out_size = out_size;
+  p->scaled_decode = scaled_decode != 0;
   p->capacity = capacity > 0 ? capacity : 64;
   for (int i = 0; i < n_threads; ++i)
     p->threads.emplace_back(&Pool::worker, p);

@@ -44,7 +44,9 @@ def _load_lib() -> ctypes.CDLL:
                            capture_output=True)
         lib = ctypes.CDLL(str(_SO))
         lib.psn_create.restype = ctypes.c_void_p
-        lib.psn_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.psn_create.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
         lib.psn_submit.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p,
             ctypes.c_float, ctypes.c_float, ctypes.c_float,
@@ -69,9 +71,19 @@ def _load_lib() -> ctypes.CDLL:
 class NativePool:
     """Thin RAII wrapper over the C pool."""
 
-    def __init__(self, out_size: int, n_threads: int = 8, capacity: int = 128):
+    def __init__(self, out_size: int, n_threads: int = 8, capacity: int = 128,
+                 scaled_decode: bool | None = None):
+        # scaled_decode: JPEGs are decoded at the smallest N/8 DCT scale
+        # that keeps the crop >= out_size (libjpeg-turbo IDCT scaling) —
+        # ~(N/8)² of the pixel work on large frames, downsample-only so
+        # quality is bilinear-class or better. Default ON; opt out with
+        # PARTSEG_SCALED_DECODE=0 (e.g. to A/B against full decode).
+        if scaled_decode is None:
+            scaled_decode = os.environ.get("PARTSEG_SCALED_DECODE", "1") != "0"
         self._lib = _load_lib()
-        self._h = self._lib.psn_create(n_threads, out_size, capacity)
+        self._h = self._lib.psn_create(
+            n_threads, out_size, capacity, int(scaled_decode)
+        )
         self.out_size = out_size
 
     def submit(self, idx: int, path: str, bbox=None) -> None:

@@ -123,6 +123,20 @@ VARIANTS_128 = {
         ],
         None,
     ),
+    # f8 fusion-boundary activation storage on top of the combined r4
+    # rung (blocks.f8_store; straight-through grad).
+    "speed128_r4_f8": (
+        SPEED128
+        + [
+            "model.decoder_out_size=64",
+            "model.stem_stride=4",
+            "augment.warp_every=2",
+            "loss.vgg_layers=('relu1_2',)",
+            "loss.vgg_trim_blocks=1",
+            "model.act_quant=f8",
+        ],
+        None,
+    ),
 }
 
 
