@@ -111,6 +111,35 @@ def test_u8_output_matches_f32(pool, images):
     np.testing.assert_allclose(b8.astype(np.float32) / 255.0, bf, atol=1e-6)
 
 
+def test_scaled_decode_matches_full(tmp_path):
+    # N/8 DCT-scaled JPEG decode must agree with the full-resolution
+    # decode path to JPEG-class tolerance, for both center and explicit
+    # bbox crops (bbox coords are given in FULL-res pixels and mapped
+    # onto the scaled frame inside the pool).
+    from partseg_tpu.data.native import NativePool
+
+    yy, xx = np.mgrid[0:218, 0:178].astype(np.float32)
+    img = np.stack(
+        [127 + 100 * np.sin(0.03 * xx), 127 + 100 * np.cos(0.02 * yy),
+         127 + 80 * np.sin(0.02 * (xx + yy))], -1
+    ).astype(np.uint8)
+    small = tmp_path / "small.jpg"
+    cv2.imwrite(str(small), img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    big = tmp_path / "big.jpg"
+    cv2.imwrite(str(big), cv2.resize(img, (1280, 720)),
+                [cv2.IMWRITE_JPEG_QUALITY, 95])
+
+    def load(scaled, bboxes=None):
+        with NativePool(out_size=96, n_threads=2, scaled_decode=scaled) as p:
+            return p.load_batch([small, big], bboxes=bboxes)
+
+    center_err = np.abs(load(True) - load(False)).max()
+    assert center_err < 0.04, center_err
+    boxes = [(10, 30, 150, 150), (300, 100, 400, 400)]
+    bbox_err = np.abs(load(True, boxes) - load(False, boxes)).max()
+    assert bbox_err < 0.04, bbox_err
+
+
 @pytest.fixture(scope="module")
 def color_images(tmp_path_factory):
     # 7 constant-color PNGs: a batch's rounded mean identifies the
