@@ -29,10 +29,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def generate_images(out_dir: pathlib.Path, n: int, seed: int = 0) -> list:
-    """Synthetic CelebA-like JPEGs: smooth low-frequency content (decode
-    cost is resolution-, not content-, dominated; smooth content keeps
-    file sizes in the real-photo ~10-30 KB range)."""
+def generate_images(out_dir: pathlib.Path, n: int, seed: int = 0,
+                    wh: tuple = (178, 218)) -> list:
+    """Synthetic JPEGs at a given source resolution: smooth
+    low-frequency content (decode cost is resolution-, not content-,
+    dominated; smooth content keeps file sizes in the real-photo
+    range). Default 178x218 = CelebA aligned; use --src_wh to model
+    DeepFashion (750x1101) or H36M (1000x1000) frames."""
     import cv2
 
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -40,7 +43,7 @@ def generate_images(out_dir: pathlib.Path, n: int, seed: int = 0) -> list:
     if all(p.exists() for p in paths):
         return paths
     rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:218, 0:178].astype(np.float32)
+    yy, xx = np.mgrid[0:wh[1], 0:wh[0]].astype(np.float32)
     for i, p in enumerate(paths):
         f = rng.uniform(0.01, 0.05, 6)
         ph = rng.uniform(0, 6.28, 6)
@@ -97,11 +100,21 @@ def main():
                     help="device img/s/chip the pipeline must match")
     ap.add_argument("--chips", type=int, default=8)
     ap.add_argument("--backends", default="native,grain")
+    ap.add_argument("--src_wh", default="178x218",
+                    help="source JPEG resolution WxH (e.g. 750x1101 for "
+                         "DeepFashion-class frames)")
+    ap.add_argument("--scaled_decode", default=None, choices=(None, "0", "1"),
+                    help="force the native pool's N/8 DCT-scaled decode "
+                         "on/off for an A/B (default: env/On)")
     args = ap.parse_args()
 
     from partseg_tpu.data.base import ImageListDataset
 
-    paths = generate_images(pathlib.Path(args.dir), args.n_images)
+    if args.scaled_decode is not None:
+        os.environ["PARTSEG_SCALED_DECODE"] = args.scaled_decode
+    w, h = (int(v) for v in args.src_wh.split("x"))
+    sub = pathlib.Path(args.dir) / f"{w}x{h}"
+    paths = generate_images(sub, args.n_images, wh=(w, h))
     ds = ImageListDataset(paths=paths, size=args.size)
     demand = args.demand * args.chips
     for backend in args.backends.split(","):
@@ -110,6 +123,8 @@ def main():
         )
         cores = os.cpu_count() or 1
         r.update(
+            src_wh=args.src_wh,
+            scaled_decode=os.environ.get("PARTSEG_SCALED_DECODE", "1"),
             metric="host_feed_rate",
             unit="img/s/host",
             demand_img_per_s=demand,
