@@ -67,10 +67,26 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
         )
     }
     perceptual = build_perceptual(cfg)
-    step_fn = jax.jit(
-        make_train_step(cfg, model, cfg.augment.make_sampler(), perceptual),
+    sampler = cfg.augment.make_sampler()
+    fn_on = jax.jit(
+        make_train_step(cfg, model, sampler, perceptual, warp_on=True),
         donate_argnums=0,
     )
+    every = cfg.augment.warp_every
+    if every > 1:
+        # warp_every schedule = trace-time specialization: alternate the
+        # on/off graphs by step index so the measured average reflects
+        # the real schedule (train/loop.build_step_fn does the same).
+        fn_off = jax.jit(
+            make_train_step(cfg, model, sampler, perceptual, warp_on=False),
+            donate_argnums=0,
+        )
+
+        def step_fn(state, batch, key, i):
+            return (fn_on if i % every == 0 else fn_off)(state, batch, key)
+    else:
+        def step_fn(state, batch, key, i):
+            return fn_on(state, batch, key)
     key = jax.random.key(2)
 
     if pipeline:
@@ -101,13 +117,15 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
         def next_batch():
             return batch
 
-    for _ in range(warmup):
-        state, metrics = step_fn(state, next_batch(), key)
+    # Warmup covers BOTH graphs of a warp_every schedule (i=0 hits the
+    # on-graph, i=1 the off-graph).
+    for i in range(max(warmup, min(every, 2))):
+        state, metrics = step_fn(state, next_batch(), key, i)
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = step_fn(state, next_batch(), key)
+    for i in range(steps):
+        state, metrics = step_fn(state, next_batch(), key, i)
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 

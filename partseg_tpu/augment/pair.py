@@ -45,6 +45,14 @@ class AugmentConfig:
     # so the equivariance loss degrades gracefully into a color-jitter
     # invariance term. 1 = paper setup (warp every step). Quality-gated
     # like every other speed rung (tools/quality_study.py).
+    #
+    # The schedule is step-deterministic, so it is specialized at TRACE
+    # time: the train loop / bench compile one graph with the warp and
+    # one without and alternate by step index (make_pair's static
+    # `warp_on`). The earlier lax.cond formulation compiled
+    # pathologically slowly and leaked host memory per step through the
+    # device tunnel — data-independent control flow belongs at trace
+    # time, not in the graph.
     warp_every: int = 1
     padding_mode: str = "border"
     warp_impl: str = "auto"   # "auto" | "fused" | "gather"
@@ -64,7 +72,7 @@ def make_pair(
     key: jax.Array,
     sampler: TPSSampler,
     cfg: AugmentConfig,
-    warp_gate: jax.Array | None = None,
+    warp_on: bool = True,
 ) -> dict[str, Any]:
     """Produce the coupled (x_s, x_a) views + transform params.
 
@@ -73,11 +81,12 @@ def make_pair(
       key: one PRNG key — the single source of the pairing.
       sampler: TPSSampler built from cfg (hoisted out so its
         precomputed basis constants are jit-time constants).
-      warp_gate: optional scalar bool (traced). When False, the warp
-        kernel is SKIPPED at runtime (lax.cond) and the returned tps is
-        the exact identity, so downstream equivariance transport stays
-        consistent with what was applied. None = always warp (and no
-        cond in the graph at all).
+      warp_on: STATIC python bool (trace-time, for warp_every
+        schedules). False builds the off-step graph: no warp kernel at
+        all, x_s is the input, and the returned tps is the exact
+        identity so downstream equivariance transport matches what was
+        applied. Color-jitter draws are unchanged (independent key
+        split), so on/off graphs stay rng-consistent.
 
     Returns dict:
       x_s: spatially warped view, x_a: color-jittered view,
@@ -104,24 +113,22 @@ def make_pair(
             k_col, b, cfg.brightness, cfg.contrast, cfg.saturation, cfg.hue
         )
 
-    if warp_gate is not None:
-        ident = sampler.identity(b)
-        tps = jax.tree.map(
-            lambda s, i: jnp.where(warp_gate, s, i.astype(s.dtype)), tps, ident
-        )
-
     def _warp(params: TPSParams, img: jax.Array) -> jax.Array:
         return sampler.warp(
             params, img, padding_mode=cfg.padding_mode, impl=cfg.warp_impl
         )
 
-    if warp_gate is None:
+    if warp_on:
         x_s = _warp(tps, x)
     else:
-        # lax.cond executes ONE branch at runtime: off-steps skip the
-        # warp custom call entirely (it is the single largest non-conv
-        # item in the r3 step trace, docs/perf_ledger.md).
-        x_s = jax.lax.cond(warp_gate, lambda im: _warp(tps, im), lambda im: im, x)
+        # Off-step graph: the sampled tps is dead code (DCE'd by XLA;
+        # the color keys come from an independent split, so draws match
+        # the on-graph's), the transform reported downstream is the
+        # exact identity.
+        tps = jax.tree.map(
+            lambda s, i: i.astype(s.dtype), tps, sampler.identity(b)
+        )
+        x_s = x
     x_a = color_jitter(x, col)
     if cfg.warp_appearance_view:
         tps2 = (
@@ -129,11 +136,7 @@ def make_pair(
             if per_sample
             else sampler.sample(k_tps2, b)
         )
-        if warp_gate is None:
+        if warp_on:
             x_a = _warp(tps2, x_a)
-        else:
-            x_a = jax.lax.cond(
-                warp_gate, lambda im: _warp(tps2, im), lambda im: im, x_a
-            )
 
     return {"x_s": x_s, "x_a": x_a, "tps": tps, "color": col}

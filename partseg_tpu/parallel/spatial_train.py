@@ -265,10 +265,13 @@ def sharded_partnet_forward(params, x_s, x_a, cfg, axis_name: str = SPACE_AXIS):
 def make_spatial_train_step(
     cfg, sampler, perceptual,
     data_axis: str = DATA_AXIS, space_axis: str = SPACE_AXIS,
+    warp_on: bool = True,
 ) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
     """The shard_map BODY of the full spatially-sharded train step
     (train/step.py semantics under a ("data", "space") mesh). Jit it
-    via build_spatial_step_fn."""
+    via build_spatial_step_fn. warp_on: STATIC, see
+    train/step.make_train_step (warp_every schedules compile an
+    on-graph and an off-graph)."""
     optimizer = make_optimizer(cfg.optim)
     lw = cfg.loss
     mc = cfg.model
@@ -284,7 +287,8 @@ def make_spatial_train_step(
         images = jnp.concatenate([tiles[i] for i in range(n_sp)], axis=1)
         key = jax.vmap(lambda i: jax.random.fold_in(key, i))(batch["aug_id"])
         pair = jax.lax.stop_gradient(
-            make_pair(images.astype(mc.dtype), key, sampler, cfg.augment)
+            make_pair(images.astype(mc.dtype), key, sampler, cfg.augment,
+                      warp_on=warp_on)
         )
         h_loc = rows.shape[1]
         r0 = jax.lax.axis_index(space_axis) * h_loc
@@ -374,14 +378,14 @@ def _sharded_seg_consistency(mc, out, axis_name):
     return _pmean_elems(ce, axis_name)
 
 
-def build_spatial_step_fn(cfg, sampler, perceptual, mesh):
+def build_spatial_step_fn(cfg, sampler, perceptual, mesh, warp_on: bool = True):
     """Jit the spatial train step over a 2-D ("data", "space") Mesh.
 
     batch["image"] must be sharded P("data", "space") (rows over
     "space"); batch["aug_id"] P("data"); params/state replicated."""
     from jax.sharding import PartitionSpec as P
 
-    body = make_spatial_train_step(cfg, sampler, perceptual)
+    body = make_spatial_train_step(cfg, sampler, perceptual, warp_on=warp_on)
     sharded = jax.shard_map(
         body,
         mesh=mesh,

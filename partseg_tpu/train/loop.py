@@ -61,31 +61,58 @@ def build_step_fn(cfg, model, sampler, perceptual, mesh):
     kernels stay shard-local (pjit auto-sharding can't partition custom
     calls). Single device: plain jit. A ("data", "space") mesh routes
     to the spatially-sharded step (parallel/spatial_train.py).
+
+    augment.warp_every > 1: the warp schedule is step-deterministic, so
+    it is specialized at TRACE time — two graphs (warp on / off) are
+    compiled and the returned callable dispatches on a host step index
+    passed as a 4th positional arg (`warp_period` attribute > 1 marks
+    this signature). A lax.cond formulation was measured to compile
+    pathologically and leak host memory per step.
     """
     from jax.sharding import PartitionSpec as P
 
-    if "space" in mesh.axis_names:
-        from partseg_tpu.parallel.spatial_train import build_spatial_step_fn
+    def _compile(warp_on: bool):
+        if "space" in mesh.axis_names:
+            from partseg_tpu.parallel.spatial_train import build_spatial_step_fn
 
-        return build_spatial_step_fn(cfg, sampler, perceptual, mesh)
-    if mesh.size > 1:
-        body = make_train_step(cfg, model, sampler, perceptual, axis_name="data")
-        batch_spec = {"image": P("data"), "aug_id": P("data")}
-        # check_vma=False: pallas_call's out_shape carries no
-        # varying-mesh-axes annotation, so the new shard_map VMA checker
-        # rejects any Pallas kernel in the body. Collectives are explicit
-        # (pmean in the step) so the check adds nothing here.
-        sharded = jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(P(), batch_spec, P()),
-            out_specs=(P(), P()),
-            check_vma=False,
+            return build_spatial_step_fn(
+                cfg, sampler, perceptual, mesh, warp_on=warp_on
+            )
+        if mesh.size > 1:
+            body = make_train_step(
+                cfg, model, sampler, perceptual, axis_name="data",
+                warp_on=warp_on,
+            )
+            batch_spec = {"image": P("data"), "aug_id": P("data")}
+            # check_vma=False: pallas_call's out_shape carries no
+            # varying-mesh-axes annotation, so the new shard_map VMA
+            # checker rejects any Pallas kernel in the body. Collectives
+            # are explicit (pmean in the step) so the check adds nothing
+            # here.
+            sharded = jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), batch_spec, P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            return jax.jit(sharded, donate_argnums=0)
+        return jax.jit(
+            make_train_step(cfg, model, sampler, perceptual, warp_on=warp_on),
+            donate_argnums=0,
         )
-        return jax.jit(sharded, donate_argnums=0)
-    return jax.jit(
-        make_train_step(cfg, model, sampler, perceptual), donate_argnums=0
-    )
+
+    fn_on = _compile(True)
+    every = cfg.augment.warp_every
+    if every <= 1:
+        return fn_on
+    fn_off = _compile(False)
+
+    def scheduled(state, batch, key, step):
+        return (fn_on if step % every == 0 else fn_off)(state, batch, key)
+
+    scheduled.warp_period = every
+    return scheduled
 
 
 def train(
@@ -182,7 +209,12 @@ def train(
             "image": _globalize(batch["image"], bsh),
             "aug_id": _globalize(aug_id, bsh_id),
         }
-        state, metrics = step_fn(state, device_batch, base_key)
+        if getattr(step_fn, "warp_period", 1) > 1:
+            # warp_every schedule: dispatch to the on/off graph by the
+            # host step index (== state.step; trace-time gating).
+            state, metrics = step_fn(state, device_batch, base_key, step)
+        else:
+            state, metrics = step_fn(state, device_batch, base_key)
         imgs_since += cfg.global_batch
 
         if cfg.profile_steps and step == cfg.profile_steps[1]:

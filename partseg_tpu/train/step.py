@@ -31,6 +31,7 @@ def make_train_step(
     sampler: TPSSampler,
     perceptual: PerceptualLoss,
     axis_name: str | None = None,
+    warp_on: bool = True,
 ) -> Callable[[TrainState, dict, jax.Array], tuple[TrainState, dict]]:
     """Build the (un-jitted) train step closure.
 
@@ -40,6 +41,14 @@ def make_train_step(
     multi-chip path: Pallas kernels inside stay shard-local (pjit
     auto-sharding cannot partition custom calls).
 
+    warp_on: STATIC. For augment.warp_every>1 schedules the caller
+    (train/loop.build_step_fn, bench.py) compiles TWO graphs — this one
+    with the TPS warp and one without — and alternates them by host
+    step index. The schedule is step-deterministic, so it belongs at
+    trace time; a lax.cond formulation was measured to compile
+    pathologically and leak host memory per step (see
+    augment/pair.py:AugmentConfig.warp_every).
+
     If `batch` contains "aug_id" (global sample ids), augmentation keys
     are derived per sample, so the draw is identical regardless of the
     device topology.
@@ -47,7 +56,7 @@ def make_train_step(
     optimizer = make_optimizer(cfg.optim)
     lw = cfg.loss
 
-    def loss_fn(params, batch: dict, key: jax.Array, warp_gate=None):
+    def loss_fn(params, batch: dict, key: jax.Array):
         images = batch["image"]
         if images.dtype == jnp.uint8:
             # uint8 host batches (native loader fast path): 4× smaller
@@ -71,7 +80,7 @@ def make_train_step(
             pair = jax.lax.stop_gradient(
                 make_pair(
                     images.astype(cfg.model.dtype), key, sampler, cfg.augment,
-                    warp_gate=warp_gate,
+                    warp_on=warp_on,
                 )
             )
         with jax.named_scope("model"):
@@ -111,14 +120,8 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: dict, key: jax.Array):
         key = jax.random.fold_in(key, state.step)
-        # warp_every > 1: TPS-warp only every N-th step (off-steps skip
-        # the warp kernel via lax.cond and train with the identity
-        # transform — see AugmentConfig.warp_every).
-        warp_gate = None
-        if cfg.augment.warp_every > 1:
-            warp_gate = (state.step % cfg.augment.warp_every) == 0
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key, warp_gate
+            state.params, batch, key
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)

@@ -148,17 +148,18 @@ def test_make_pair_jits():
     assert out.shape == img.shape
 
 
-def test_make_pair_warp_gate():
-    # AugmentConfig.warp_every support: gate OFF must skip the warp at
-    # runtime (x_s is bit-for-bit the input) and return the EXACT
-    # identity transform so equivariance transport matches what was
-    # applied; gate ON must match the ungated path bit-for-bit.
+def test_make_pair_warp_on_static():
+    # AugmentConfig.warp_every support (trace-time specialization):
+    # warp_on=False builds the off-step graph — no warp at all (x_s is
+    # bit-for-bit the input) and the EXACT identity transform so
+    # equivariance transport matches what was applied; warp_on=True is
+    # the default graph, bit-for-bit.
     cfg = AugmentConfig()
     sampler = cfg.make_sampler()
     img = jax.random.uniform(jax.random.key(11), (2, 32, 32, 3))
     key = jax.random.key(7)
 
-    off = make_pair(img, key, sampler, cfg, warp_gate=jnp.asarray(False))
+    off = make_pair(img, key, sampler, cfg, warp_on=False)
     np.testing.assert_array_equal(np.asarray(off["x_s"]), np.asarray(img))
     ident = sampler.identity(2)
     np.testing.assert_allclose(
@@ -170,18 +171,19 @@ def test_make_pair_warp_gate():
         np.asarray(sampler.transform_points(off["tps"], pts)),
         np.asarray(pts), atol=1e-5,
     )
-    # Color jitter still applies on off-steps.
+    # Color jitter still applies on off-steps — with the SAME draws as
+    # the on-graph (independent key split).
     assert np.abs(np.asarray(off["x_a"]) - np.asarray(img)).max() > 1e-3
 
-    # Gate ON matches the ungated path (allclose, not bitwise: the warp
-    # compiles inside a lax.cond branch there, so XLA may fuse it
-    # differently).
-    on = make_pair(img, key, sampler, cfg, warp_gate=jnp.asarray(True))
+    # warp_on=True IS the default path, bit-for-bit.
+    on = make_pair(img, key, sampler, cfg, warp_on=True)
     ref = make_pair(img, key, sampler, cfg)
-    np.testing.assert_allclose(
-        np.asarray(on["x_s"]), np.asarray(ref["x_s"]), atol=1e-5
+    np.testing.assert_array_equal(
+        np.asarray(on["x_s"]), np.asarray(ref["x_s"])
     )
     np.testing.assert_array_equal(
         np.asarray(on["tps"].weights), np.asarray(ref["tps"].weights)
     )
     np.testing.assert_array_equal(np.asarray(on["x_a"]), np.asarray(ref["x_a"]))
+    # On/off color draws agree (rng consistency across the two graphs).
+    np.testing.assert_array_equal(np.asarray(off["x_a"]), np.asarray(ref["x_a"]))

@@ -241,31 +241,47 @@ def test_train_loop_spatial_mesh(tmp_path):
 
 
 def test_warp_every_step_gating():
-    # augment.warp_every=2: even steps match the warp_every=1 step
-    # exactly (gate ON selects the same graph values); the next (odd)
-    # step gates the warp OFF and still trains (finite loss/grads).
+    # augment.warp_every=2 (trace-time specialization): build_step_fn
+    # returns a scheduler (warp_period attr) dispatching on the host
+    # step index. Even steps run the warp-on graph and match the
+    # warp_every=1 step exactly; odd steps run the warp-off graph and
+    # still train (finite loss/grads, measurably different loss).
     import dataclasses
+
+    from partseg_tpu.dist.mesh import make_mesh
+    from partseg_tpu.train.loop import build_perceptual, build_step_fn
 
     cfg1 = TINY
     cfg2 = dataclasses.replace(
         TINY, augment=dataclasses.replace(TINY.augment, warp_every=2)
     )
     img = np.random.default_rng(3).uniform(0, 1, (8, 16, 16, 3)).astype(np.float32)
-    batch = {"image": jnp.asarray(img)}
     key = jax.random.key(5)
+    one = make_mesh(jax.devices()[:1])
 
-    _, s1, f1 = _build(cfg1)
-    _, s2, f2 = _build(cfg2)
-    s1_a, m1 = jax.jit(f1)(s1, batch, key)
-    s2_a, m2 = jax.jit(f2)(s2, batch, key)
-    # step 0 is a warp step for both: identical loss to float tolerance.
+    def build(cfg):
+        model = PartNet(cfg.model)
+        state = create_state(cfg, model, jax.random.key(0))
+        fn = build_step_fn(
+            cfg, model, cfg.augment.make_sampler(), build_perceptual(cfg), one
+        )
+        return state, fn
+
+    s1, f1 = build(cfg1)
+    s2, f2 = build(cfg2)
+    assert getattr(f1, "warp_period", 1) == 1
+    assert f2.warp_period == 2
+    # donate_argnums=0: give each step fn its own batch copy.
+    s1_a, m1 = f1(s1, {"image": jnp.asarray(img)}, key)
+    s2_a, m2 = f2(s2, {"image": jnp.asarray(img)}, key, 0)
+    # step 0 is a warp step for both: the SAME graph semantics.
     np.testing.assert_allclose(
         float(m1["loss"]), float(m2["loss"]), rtol=1e-5
     )
-    # step 1 gates the warp off under warp_every=2: still finite, and
-    # measurably different from the warped step.
-    s2_b, m2b = jax.jit(f2)(s2_a, batch, key)
-    _, m1b = jax.jit(f1)(s1_a, batch, key)
+    # step 1 runs the warp-off graph under warp_every=2: still finite,
+    # and measurably different from the warped step.
+    s2_b, m2b = f2(s2_a, {"image": jnp.asarray(img)}, key, 1)
+    _, m1b = f1(s1_a, {"image": jnp.asarray(img)}, key)
     assert np.isfinite(float(m2b["loss"]))
     assert abs(float(m2b["loss"]) - float(m1b["loss"])) > 0
     leaves = jax.tree.leaves(s2_b.params)
