@@ -137,6 +137,26 @@ def test_smoke_train_loss_decreases(tmp_path):
     assert int(state2.step) == 8
 
 
+def test_smoke_train_warp_every_schedule(tmp_path):
+    # Loop-level integration of the warp_every scheduler: train() must
+    # dispatch to the on/off graphs by host step index (the
+    # warp_period branch in the loop body) and stay finite across an
+    # odd number of steps (both graphs run), including a resume.
+    import dataclasses
+
+    cfg = TINY.replace(
+        steps=3, ckpt_dir=str(tmp_path / "run"), ckpt_every=2,
+        augment=dataclasses.replace(TINY.augment, warp_every=2),
+    )
+    state = train(cfg)
+    assert int(state.step) == 3
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.all(np.isfinite(np.asarray(l, np.float32))) for l in leaves)
+    # Resume re-enters mid-schedule (step 2 = warp-on, step 3... 4 = off).
+    state2 = train(cfg.replace(steps=5))
+    assert int(state2.step) == 5
+
+
 def test_registry_unknown_dataset():
     with pytest.raises(KeyError, match="synthetic"):
         build_dataset("nope")
