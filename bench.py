@@ -68,25 +68,27 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
     }
     perceptual = build_perceptual(cfg)
     sampler = cfg.augment.make_sampler()
-    fn_on = jax.jit(
-        make_train_step(cfg, model, sampler, perceptual, warp_on=True),
-        donate_argnums=0,
-    )
     every = cfg.augment.warp_every
     if every > 1:
-        # warp_every schedule = trace-time specialization: alternate the
-        # on/off graphs by step index so the measured average reflects
-        # the real schedule (train/loop.build_step_fn does the same).
-        fn_off = jax.jit(
-            make_train_step(cfg, model, sampler, perceptual, warp_on=False),
+        # warp_every schedule: the whole period is ONE compiled program
+        # taking `every` batches (train/step.make_train_period — a
+        # two-executable alternation broke dispatch pipelining, 28 vs
+        # 170 img/s in the real loop). Images per dispatch scale by the
+        # period.
+        from partseg_tpu.train.step import make_train_period
+
+        period_fn = jax.jit(
+            make_train_period(cfg, model, sampler, perceptual),
             donate_argnums=0,
         )
 
-        def step_fn(state, batch, key, i):
-            return (fn_on if i % every == 0 else fn_off)(state, batch, key)
+        def step_fn(state, batch, key):
+            return period_fn(state, (batch,) * every, key)
     else:
-        def step_fn(state, batch, key, i):
-            return fn_on(state, batch, key)
+        step_fn = jax.jit(
+            make_train_step(cfg, model, sampler, perceptual),
+            donate_argnums=0,
+        )
     key = jax.random.key(2)
 
     if pipeline:
@@ -117,19 +119,18 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
         def next_batch():
             return batch
 
-    # Warmup covers BOTH graphs of a warp_every schedule (i=0 hits the
-    # on-graph, i=1 the off-graph).
-    for i in range(max(warmup, min(every, 2))):
-        state, metrics = step_fn(state, next_batch(), key, i)
+    for _ in range(warmup):
+        state, metrics = step_fn(state, next_batch(), key)
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = step_fn(state, next_batch(), key, i)
+    for _ in range(steps):
+        state, metrics = step_fn(state, next_batch(), key)
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 
-    img_s_chip = cfg.global_batch * steps / dt / n_chips
+    # One dispatch covers `every` optimizer steps (and batches).
+    img_s_chip = cfg.global_batch * every * steps / dt / n_chips
     result = {
         "metric": "train_throughput_128px" + ("_piped" if pipeline else ""),
         "value": round(img_s_chip, 1),

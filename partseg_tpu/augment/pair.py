@@ -47,12 +47,14 @@ class AugmentConfig:
     # like every other speed rung (tools/quality_study.py).
     #
     # The schedule is step-deterministic, so it is specialized at TRACE
-    # time: the train loop / bench compile one graph with the warp and
-    # one without and alternate by step index (make_pair's static
-    # `warp_on`). The earlier lax.cond formulation compiled
-    # pathologically slowly and leaked host memory per step through the
-    # device tunnel — data-independent control flow belongs at trace
-    # time, not in the graph.
+    # time: the whole period is unrolled into ONE compiled program
+    # (warp-on sub-step + warp-free sub-steps; make_pair's static
+    # `warp_on`, train/step.make_train_period). Two rejected
+    # formulations, both measured: a traced lax.cond compiled
+    # pathologically slowly and leaked host memory per step; two
+    # alternating jitted executables broke dispatch pipelining (28 vs
+    # 170 img/s in the real loop). Data-independent control flow
+    # belongs at trace time, in one executable.
     warp_every: int = 1
     padding_mode: str = "border"
     warp_impl: str = "auto"   # "auto" | "fused" | "gather"

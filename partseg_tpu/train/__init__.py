@@ -7,7 +7,7 @@ the data mesh; host↔device crosses once per step with raw images.
 
 from partseg_tpu.train.config import TrainConfig, LossConfig, OptimConfig, load_config
 from partseg_tpu.train.state import TrainState, create_state
-from partseg_tpu.train.step import make_train_step
+from partseg_tpu.train.step import make_train_period, make_train_step
 from partseg_tpu.train.loop import train
 
 __all__ = [
@@ -18,5 +18,6 @@ __all__ = [
     "TrainState",
     "create_state",
     "make_train_step",
+    "make_train_period",
     "train",
 ]

@@ -31,7 +31,22 @@ def main(argv=None):
     ap.add_argument("--check_data", action="store_true",
                     help="validate the config's dataset layout under "
                          "$PARTSEG_DATA (docs/real_data.md) and exit")
+    ap.add_argument("--segment_steps", type=int, default=None,
+                    help="train in fresh-process segments of N steps via "
+                         "the restore-latest resume path (numerics are "
+                         "exactness-tested identical). Bounds per-process "
+                         "host growth: some device transports leak their "
+                         "staging buffer on every host->device transfer "
+                         "(docs/perf_ledger.md r4), which degrades long "
+                         "single-process runs. Requires --steps and "
+                         "--ckpt_dir.")
     args = ap.parse_args(argv)
+
+    if args.segment_steps:
+        # The driver process must NOT import/initialize jax: the device
+        # belongs to one process at a time, and the whole point is that
+        # each segment runs in a fresh process.
+        return _run_segmented(args)
 
     import jax
 
@@ -58,6 +73,55 @@ def main(argv=None):
     if args.ckpt_dir is not None:
         cfg = cfg.replace(ckpt_dir=args.ckpt_dir)
     train(cfg, restore=not args.no_restore)
+
+
+def _latest_ckpt_step(ckpt_dir: str) -> int:
+    import pathlib
+
+    d = pathlib.Path(ckpt_dir, "checkpoints")
+    if not d.is_dir():
+        return 0
+    return max((int(p.name) for p in d.iterdir() if p.name.isdigit()),
+               default=0)
+
+
+def _run_segmented(args) -> None:
+    """Spawn one child CLI process per segment; each child restores the
+    latest checkpoint, trains segment_steps further, and exits (returning
+    all per-process host memory to the OS). Resume is the exactness-
+    tested seek path, so the trained numerics equal one long run."""
+    import subprocess
+    import sys
+
+    if args.steps is None or args.ckpt_dir is None:
+        raise SystemExit("--segment_steps requires --steps and --ckpt_dir")
+    cur = 0 if args.no_restore else _latest_ckpt_step(args.ckpt_dir)
+    first = True
+    while cur < args.steps:
+        target = min(cur + args.segment_steps, args.steps)
+        cmd = [sys.executable, "-m", "partseg_tpu.train.cli",
+               "--config", args.config,
+               "--steps", str(target), "--ckpt_dir", args.ckpt_dir]
+        if args.set:
+            cmd += ["--set", *args.set]
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        if args.debug_nans:
+            cmd += ["--debug_nans"]
+        if first and args.no_restore:
+            cmd += ["--no-restore"]
+        print(f"[segment] steps {cur} -> {target}", flush=True)
+        r = subprocess.run(cmd)
+        if r.returncode != 0:
+            raise SystemExit(r.returncode)
+        done = _latest_ckpt_step(args.ckpt_dir)
+        if done < target:
+            raise SystemExit(
+                f"segment made no checkpoint progress ({cur} -> {done}, "
+                f"wanted {target})"
+            )
+        cur = done
+        first = False
 
 
 if __name__ == "__main__":

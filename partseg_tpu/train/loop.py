@@ -63,56 +63,77 @@ def build_step_fn(cfg, model, sampler, perceptual, mesh):
     to the spatially-sharded step (parallel/spatial_train.py).
 
     augment.warp_every > 1: the warp schedule is step-deterministic, so
-    it is specialized at TRACE time — two graphs (warp on / off) are
-    compiled and the returned callable dispatches on a host step index
-    passed as a 4th positional arg (`warp_period` attribute > 1 marks
-    this signature). A lax.cond formulation was measured to compile
-    pathologically and leak host memory per step.
+    the FULL period is unrolled into ONE compiled program (sub-step 0
+    warps, the rest don't; N sequential updates per dispatch). The
+    returned callable (marked with a `warp_period` attribute) takes a
+    TUPLE of N batch dicts. One executable is load-bearing: alternating
+    two jitted programs per step measured 28 vs 170 img/s in the real
+    loop (executable switches break dispatch pipelining), and a
+    lax.cond formulation compiled pathologically and leaked host
+    memory per step (docs/perf_ledger.md r4).
     """
     from jax.sharding import PartitionSpec as P
 
-    def _compile(warp_on: bool):
-        if "space" in mesh.axis_names:
-            from partseg_tpu.parallel.spatial_train import build_spatial_step_fn
+    from partseg_tpu.train.step import compose_period
 
-            return build_spatial_step_fn(
-                cfg, sampler, perceptual, mesh, warp_on=warp_on
+    every = cfg.augment.warp_every
+    spatial = "space" in mesh.axis_names
+
+    if spatial:
+        from partseg_tpu.parallel.spatial_train import make_spatial_train_step
+
+        def make_body(warp_on):
+            return make_spatial_train_step(
+                cfg, sampler, perceptual, warp_on=warp_on
             )
-        if mesh.size > 1:
-            body = make_train_step(
+
+        batch_spec = {"image": P("data", "space"), "aug_id": P("data")}
+    elif mesh.size > 1:
+
+        def make_body(warp_on):
+            return make_train_step(
                 cfg, model, sampler, perceptual, axis_name="data",
                 warp_on=warp_on,
             )
-            batch_spec = {"image": P("data"), "aug_id": P("data")}
-            # check_vma=False: pallas_call's out_shape carries no
-            # varying-mesh-axes annotation, so the new shard_map VMA
-            # checker rejects any Pallas kernel in the body. Collectives
-            # are explicit (pmean in the step) so the check adds nothing
-            # here.
-            sharded = jax.shard_map(
-                body,
-                mesh=mesh,
-                in_specs=(P(), batch_spec, P()),
-                out_specs=(P(), P()),
-                check_vma=False,
+
+        batch_spec = {"image": P("data"), "aug_id": P("data")}
+    else:
+
+        def make_body(warp_on):
+            return make_train_step(
+                cfg, model, sampler, perceptual, warp_on=warp_on
             )
-            return jax.jit(sharded, donate_argnums=0)
-        return jax.jit(
-            make_train_step(cfg, model, sampler, perceptual, warp_on=warp_on),
-            donate_argnums=0,
-        )
 
-    fn_on = _compile(True)
-    every = cfg.augment.warp_every
+        batch_spec = None
+
     if every <= 1:
-        return fn_on
-    fn_off = _compile(False)
+        body = make_body(True)
+        spec = batch_spec
+    else:
+        body = compose_period([make_body(i == 0) for i in range(every)])
+        spec = None if batch_spec is None else tuple([batch_spec] * every)
 
-    def scheduled(state, batch, key, step):
-        return (fn_on if step % every == 0 else fn_off)(state, batch, key)
+    if batch_spec is not None:
+        # check_vma=False: pallas_call's out_shape carries no
+        # varying-mesh-axes annotation, so the new shard_map VMA checker
+        # rejects any Pallas kernel in the body. Collectives are explicit
+        # (pmean in the step) so the check adds nothing here.
+        body = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), spec, P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    fn = jax.jit(body, donate_argnums=0)
+    if every <= 1:
+        return fn
 
-    scheduled.warp_period = every
-    return scheduled
+    def period_fn(state, batches, key):
+        return fn(state, batches, key)
+
+    period_fn.warp_period = every
+    return period_fn
 
 
 def train(
@@ -192,36 +213,61 @@ def train(
         bsh = batch_sharding(mesh)
         bsh_id = bsh
 
+    # warp_every>1: the loop advances one PERIOD per dispatch (the
+    # whole period is one compiled program — build_step_fn). Batches
+    # stay 1:1 with sub-steps, so data-iterator seek arithmetic is
+    # unchanged; checkpoints are only written at period boundaries, so
+    # restores are always aligned.
+    period = getattr(step_fn, "warp_period", 1)
+    if period > 1:
+        if start_step % period:
+            raise ValueError(
+                f"restored step {start_step} is not aligned to "
+                f"augment.warp_every={period}; warp-scheduled runs only "
+                "checkpoint at period boundaries — this checkpoint came "
+                "from a different schedule"
+            )
+        if (cfg.steps - start_step) % period:
+            raise ValueError(
+                f"steps={cfg.steps} must be a multiple of "
+                f"augment.warp_every={period} (the schedule period is "
+                "compiled as one program)"
+            )
+
     t_last = time.perf_counter()
     imgs_since = 0
-    for step in range(start_step, cfg.steps):
-        if cfg.profile_steps and step == cfg.profile_steps[0]:
+    for step in range(start_step, cfg.steps, period):
+        if cfg.profile_steps and step <= cfg.profile_steps[0] < step + period:
             jax.profiler.start_trace(os.path.join(cfg.ckpt_dir, "profile"))
-        batch = next(data_iter)
-        # Global sample ids drive per-sample augmentation keys, making
-        # the draw identical under any sharding (see step.py).
-        aug_id = (
-            np.arange(per_host_batch, dtype=np.int32)
-            + jax.process_index() * per_host_batch
-            + step * cfg.global_batch
-        )
-        device_batch = {
-            "image": _globalize(batch["image"], bsh),
-            "aug_id": _globalize(aug_id, bsh_id),
-        }
-        if getattr(step_fn, "warp_period", 1) > 1:
-            # warp_every schedule: dispatch to the on/off graph by the
-            # host step index (== state.step; trace-time gating).
-            state, metrics = step_fn(state, device_batch, base_key, step)
-        else:
-            state, metrics = step_fn(state, device_batch, base_key)
-        imgs_since += cfg.global_batch
 
-        if cfg.profile_steps and step == cfg.profile_steps[1]:
+        def _device_batch(sub: int) -> dict:
+            batch = next(data_iter)
+            # Global sample ids drive per-sample augmentation keys,
+            # making the draw identical under any sharding (see step.py).
+            aug_id = (
+                np.arange(per_host_batch, dtype=np.int32)
+                + jax.process_index() * per_host_batch
+                + (step + sub) * cfg.global_batch
+            )
+            return {
+                "image": _globalize(batch["image"], bsh),
+                "aug_id": _globalize(aug_id, bsh_id),
+            }
+
+        if period == 1:
+            device_batch = _device_batch(0)
+            state, metrics = step_fn(state, device_batch, base_key)
+        else:
+            batches = tuple(_device_batch(j) for j in range(period))
+            device_batch = batches[0]        # warp-on sub-step, for viz
+            state, metrics = step_fn(state, batches, base_key)
+        imgs_since += cfg.global_batch * period
+
+        if cfg.profile_steps and step <= cfg.profile_steps[1] < step + period:
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
 
-        if step % cfg.log_every == 0 or step + 1 == cfg.steps:
+        if step % cfg.log_every < period or step + period >= cfg.steps:
             m = jax.device_get(metrics)      # pmean'd → identical on all hosts
             now = time.perf_counter()
             dt = now - t_last
@@ -233,16 +279,17 @@ def train(
             t_last = now
             imgs_since = 0
 
-        if cfg.image_log_every and step % cfg.image_log_every == 0:
+        if cfg.image_log_every and step % cfg.image_log_every < period:
             if jax.process_index() == 0:
                 _log_images(logger, viz_fn, state, device_batch, step)
 
-        if cfg.fault_injection_step is not None and step == cfg.fault_injection_step:
+        if (cfg.fault_injection_step is not None
+                and step <= cfg.fault_injection_step < step + period):
             print(f"[train] FAULT INJECTION at step {step} — exiting hard")
             ckpt.wait()
             os._exit(42)
 
-        ckpt.save(step + 1, state)
+        ckpt.save(step + period, state)
 
     ckpt.save(cfg.steps, state, force=True)
     ckpt.wait()

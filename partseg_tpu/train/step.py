@@ -137,6 +137,57 @@ def make_train_step(
     return train_step
 
 
+def make_train_period(
+    cfg: TrainConfig,
+    model: PartNet,
+    sampler: TPSSampler,
+    perceptual: PerceptualLoss,
+    axis_name: str | None = None,
+) -> Callable[[TrainState, tuple, jax.Array], tuple[TrainState, dict]]:
+    """One compiled program executing a FULL augment.warp_every period:
+    sub-step 0 TPS-warps (warp_on=True), sub-steps 1..N-1 train
+    warp-free. Takes a TUPLE of N batch dicts (one per sub-step) and
+    applies N sequential optimizer updates.
+
+    Why unroll instead of alternating two jitted executables: the
+    schedule must live in ONE executable to keep dispatch pipelining —
+    alternating two jitted programs through a remote-device transport
+    measured 28 vs 170 img/s in the real training loop (the per-step
+    executable switch forces a sync; docs/perf_ledger.md r4). Unrolling
+    is the trace-time analog of a lax.cond-free schedule: no
+    data-dependent control flow, one compiled program, N× fewer
+    dispatches.
+
+    Metrics: the element-wise MEAN over the period (what a logger
+    sampling every k steps expects), plus "loss_warp_on" /
+    "loss_warp_off" for the two schedule phases.
+    """
+    subs = [
+        make_train_step(cfg, model, sampler, perceptual, axis_name,
+                        warp_on=(i == 0))
+        for i in range(cfg.augment.warp_every)
+    ]
+    return compose_period(subs)
+
+
+def compose_period(subs: list) -> Callable:
+    """Sequence N sub-step closures into one period body (see
+    make_train_period). Each sub derives its own RNG by folding the
+    shared key with state.step, which increments between subs."""
+
+    def period_step(state: TrainState, batches: tuple, key: jax.Array):
+        ms = []
+        for fn, b in zip(subs, batches):
+            state, m = fn(state, b, key)   # fn folds key with state.step
+            ms.append(m)
+        metrics = jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *ms)
+        metrics["loss_warp_on"] = ms[0]["loss"]
+        metrics["loss_warp_off"] = ms[-1]["loss"]
+        return state, metrics
+
+    return period_step
+
+
 def _seg_consistency(cfg: TrainConfig, out) -> jax.Array:
     """Cross-entropy between the per-pixel part softmax (K+bg) and the
     stop-grad occupancy of the rendered Gaussians: a pixel belongs to

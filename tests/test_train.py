@@ -138,23 +138,25 @@ def test_smoke_train_loss_decreases(tmp_path):
 
 
 def test_smoke_train_warp_every_schedule(tmp_path):
-    # Loop-level integration of the warp_every scheduler: train() must
-    # dispatch to the on/off graphs by host step index (the
-    # warp_period branch in the loop body) and stay finite across an
-    # odd number of steps (both graphs run), including a resume.
+    # Loop-level integration of the warp_every period program: train()
+    # advances one period (2 sub-steps, 2 batches) per dispatch, stays
+    # finite, checkpoints at period boundaries, and resumes aligned.
     import dataclasses
 
     cfg = TINY.replace(
-        steps=3, ckpt_dir=str(tmp_path / "run"), ckpt_every=2,
+        steps=4, ckpt_dir=str(tmp_path / "run"), ckpt_every=2,
         augment=dataclasses.replace(TINY.augment, warp_every=2),
     )
     state = train(cfg)
-    assert int(state.step) == 3
+    assert int(state.step) == 4
     leaves = jax.tree_util.tree_leaves(state.params)
     assert all(np.all(np.isfinite(np.asarray(l, np.float32))) for l in leaves)
-    # Resume re-enters mid-schedule (step 2 = warp-on, step 3... 4 = off).
-    state2 = train(cfg.replace(steps=5))
-    assert int(state2.step) == 5
+    # Resume from the period-aligned checkpoint and continue.
+    state2 = train(cfg.replace(steps=6))
+    assert int(state2.step) == 6
+    # A step budget that isn't a period multiple is rejected loudly.
+    with pytest.raises(ValueError, match="multiple of"):
+        train(cfg.replace(steps=7, ckpt_dir=str(tmp_path / "run2")))
 
 
 def test_registry_unknown_dataset():
@@ -260,16 +262,18 @@ def test_train_loop_spatial_mesh(tmp_path):
     ).all()
 
 
-def test_warp_every_step_gating():
-    # augment.warp_every=2 (trace-time specialization): build_step_fn
-    # returns a scheduler (warp_period attr) dispatching on the host
-    # step index. Even steps run the warp-on graph and match the
-    # warp_every=1 step exactly; odd steps run the warp-off graph and
-    # still train (finite loss/grads, measurably different loss).
+def test_warp_every_period_program():
+    # augment.warp_every=2: build_step_fn returns ONE unrolled period
+    # program (warp_period attr) taking a tuple of 2 batches. The
+    # warp-on sub-step matches the warp_every=1 step exactly; the
+    # warp-off sub-step still trains (finite, measurably different
+    # loss); the whole period equals running the two sub-step graphs
+    # sequentially.
     import dataclasses
 
     from partseg_tpu.dist.mesh import make_mesh
     from partseg_tpu.train.loop import build_perceptual, build_step_fn
+    from partseg_tpu.train.step import make_train_step
 
     cfg1 = TINY
     cfg2 = dataclasses.replace(
@@ -285,24 +289,40 @@ def test_warp_every_step_gating():
         fn = build_step_fn(
             cfg, model, cfg.augment.make_sampler(), build_perceptual(cfg), one
         )
-        return state, fn
+        return model, state, fn
 
-    s1, f1 = build(cfg1)
-    s2, f2 = build(cfg2)
+    _, s1, f1 = build(cfg1)
+    model2, s2, f2 = build(cfg2)
     assert getattr(f1, "warp_period", 1) == 1
     assert f2.warp_period == 2
-    # donate_argnums=0: give each step fn its own batch copy.
-    s1_a, m1 = f1(s1, {"image": jnp.asarray(img)}, key)
-    s2_a, m2 = f2(s2, {"image": jnp.asarray(img)}, key, 0)
-    # step 0 is a warp step for both: the SAME graph semantics.
+    # donate_argnums=0: give each call its own batch dict.
+    b = lambda: {"image": jnp.asarray(img)}
+    s1_a, m1 = f1(s1, b(), key)
+    s2_end, m2 = f2(s2, (b(), b()), key)
+    # Sub-step 0 is a warp step: the SAME graph semantics as f1's step.
     np.testing.assert_allclose(
-        float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+        float(m1["loss"]), float(m2["loss_warp_on"]), rtol=1e-5
     )
-    # step 1 runs the warp-off graph under warp_every=2: still finite,
-    # and measurably different from the warped step.
-    s2_b, m2b = f2(s2_a, {"image": jnp.asarray(img)}, key, 1)
-    _, m1b = f1(s1_a, {"image": jnp.asarray(img)}, key)
-    assert np.isfinite(float(m2b["loss"]))
-    assert abs(float(m2b["loss"]) - float(m1b["loss"])) > 0
-    leaves = jax.tree.leaves(s2_b.params)
+    # Sub-step 1 runs warp-free: finite, measurably different from the
+    # warped step f1 takes from the same mid-period state.
+    _, m1b = f1(s1_a, b(), key)
+    assert np.isfinite(float(m2["loss_warp_off"]))
+    assert abs(float(m2["loss_warp_off"]) - float(m1b["loss"])) > 0
+    leaves = jax.tree.leaves(s2_end.params)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    # The unrolled program == its sub-step graphs run sequentially.
+    perceptual = build_perceptual(cfg2)
+    sampler = cfg2.augment.make_sampler()
+    f_on = jax.jit(make_train_step(cfg2, model2, sampler, perceptual,
+                                   warp_on=True))
+    f_off = jax.jit(make_train_step(cfg2, model2, sampler, perceptual,
+                                    warp_on=False))
+    s_ref = create_state(cfg2, model2, jax.random.key(0))
+    s_ref, _ = f_on(s_ref, b(), key)
+    s_ref, _ = f_off(s_ref, b(), key)
+    for a, r in zip(jax.tree.leaves(s2_end.params), jax.tree.leaves(s_ref.params)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(r, np.float32),
+            rtol=2e-4, atol=2e-6,
+        )

@@ -70,6 +70,12 @@ def phase_cpu():
     step_fn = build_step_fn(
         cfg, model, cfg.augment.make_sampler(), build_perceptual(cfg), mesh
     )
+    if getattr(step_fn, "warp_period", 1) > 1:
+        raise SystemExit(
+            "nan_bisect needs per-step granularity; rerun with "
+            "augment.warp_every=1 (the sub-step graphs are identical, "
+            "only the schedule differs)"
+        )
     ds = build_dataset(cfg.dataset, split="train", **dict(cfg.dataset_kwargs))
     it = make_loader(ds, cfg.global_batch, seed=cfg.seed, num_workers=1)
     # Fast-forward the data stream to the restored step.
@@ -80,9 +86,8 @@ def phase_cpu():
         batch = next(it)
         aug_id = np.arange(cfg.global_batch, dtype=np.int32) + step * cfg.global_batch
         try:
-            state, metrics = step_fn(
-                state, {"image": batch["image"], "aug_id": aug_id}, key
-            )
+            b = {"image": batch["image"], "aug_id": aug_id}
+            state, metrics = step_fn(state, b, key)
             loss = float(metrics["loss"])
             print(f"step {step}: loss {loss:.5f}", flush=True)
         except FloatingPointError as e:

@@ -140,15 +140,53 @@ VARIANTS_128 = {
 }
 
 
-def run_variant(name, overrides, steps, base_dir):
-    from tools.validate_segmentation import main as validate_seg
-    from tools.validate_synthetic import main as validate_syn
+def _run_json(cmd) -> dict:
+    """Run a tool subprocess and parse the LAST json line it prints."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(cmd, capture_output=True, text=True,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    sys.stdout.write(r.stdout)
+    if r.stderr:
+        sys.stderr.write(r.stderr[-2000:])
+    for line in reversed(r.stdout.splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"{cmd[:4]}... printed no JSON (rc={r.returncode})")
+
+
+def run_variant(name, overrides, steps, base_dir, segment_steps=600):
+    """Train (leak-bounded, fresh process per segment) then eval, all in
+    subprocesses: the axon transport leaks its host staging buffer on
+    EVERY host->device transfer (~13 MB/step at B=64/128px, measured —
+    docs/perf_ledger.md r4), so a long single-process study run decays
+    from ~200 to <30 img/s as RSS grows. Segmenting through the
+    exactness-tested CLI resume path keeps every process short-lived;
+    the trained numerics equal one long run."""
+    import shutil
+    import subprocess
+    import sys
 
     out_dir = os.path.join(base_dir, name)
+    shutil.rmtree(out_dir, ignore_errors=True)
     print(f"=== variant {name}: steps={steps} overrides={overrides} ===",
           flush=True)
-    syn = validate_syn(steps=steps, out_dir=out_dir, overrides=overrides)
-    seg = validate_seg(out_dir, overrides=overrides)
+    common = [*overrides, "log_every=50", "image_log_every=0"]
+    r = subprocess.run(
+        [sys.executable, "-m", "partseg_tpu.train.cli",
+         "--config", "configs/synthetic.py", "--ckpt_dir", out_dir,
+         "--steps", str(steps), "--segment_steps", str(segment_steps),
+         "--no-restore", "--set", *common],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if r.returncode != 0:
+        raise RuntimeError(f"training {name} failed rc={r.returncode}")
+    syn = _run_json([sys.executable, "tools/validate_synthetic.py",
+                     "--eval_only", "--out_dir", out_dir,
+                     "--steps", str(steps), "--set", *common])
+    seg = _run_json([sys.executable, "tools/validate_segmentation.py",
+                     "--ckpt_dir", out_dir, "--set", *common])
     return {
         "steps": steps,
         "landmark_err_pct_diag": syn["landmark_err_pct_diag_trained"],
@@ -226,6 +264,12 @@ def main_128(base_steps: int, base_dir: str, variants: list[str],
     rows = {k: dict(v) for k, v in prior_rows.items() if k not in sel}
     for name, (ov, rate) in sel.items():
         steps = max(1, round(base_steps * rate / flag_rate))
+        # warp_every periods compile as one program; budgets round UP to
+        # whole periods (the train loop rejects partial periods).
+        we = next((int(o.split("=")[1]) for o in ov
+                   if o.startswith("augment.warp_every=")), 1)
+        if we > 1 and steps % we:
+            steps += we - steps % we
         rows[name] = run_variant(name, PX128_BASE + ov, steps, base_dir)
         rows[name]["img_s_chip"] = rate
 
@@ -260,9 +304,10 @@ def main_128(base_steps: int, base_dir: str, variants: list[str],
 
 
 if __name__ == "__main__":
-    from partseg_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
+    # NOTE: no jax import here — the study parent is a pure orchestrator
+    # (training segments and evals run in child processes; the single
+    # device must never be held by an idle parent). Children enable the
+    # compilation cache themselves.
     ap = argparse.ArgumentParser()
     ap.add_argument("--px", type=int, default=128, choices=(64, 128))
     ap.add_argument("--steps", type=int, default=800,

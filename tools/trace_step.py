@@ -52,16 +52,23 @@ def main():
         "aug_id": jnp.arange(B, dtype=jnp.int32),
     }
     key = jax.random.key(2)
-    state, m = step_fn(state, batch, key)
+    # warp_every>1 configs: one dispatch = one unrolled period program
+    # over `wp` batches; the breakdown divides by SUB-steps so numbers
+    # stay per-optimizer-step.
+    wp = getattr(step_fn, "warp_period", 1)
+    b = batch if wp == 1 else (batch,) * wp
+
+    state, m = step_fn(state, b, key)
     jax.block_until_ready(state.params)
 
+    n_disp = 3 if wp == 1 else 2
     trace_dir = "/tmp/partseg_trace"
     with jax.profiler.trace(trace_dir):
-        for _ in range(3):
-            state, m = step_fn(state, batch, key)
+        for _ in range(n_disp):
+            state, m = step_fn(state, b, key)
         jax.block_until_ready(state.params)
 
-    print_trace_breakdown(trace_dir, n_steps=3)
+    print_trace_breakdown(trace_dir, n_steps=n_disp * wp)
 
 
 def print_trace_breakdown(trace_dir: str, n_steps: float) -> None:

@@ -62,5 +62,6 @@ def main(ckpt_dir: str, overrides: list | None = None):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt_dir", default="logs/val_long")
+    ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL")
     a = ap.parse_args()
-    raise SystemExit(0 if main(a.ckpt_dir)["ok"] else 1)
+    raise SystemExit(0 if main(a.ckpt_dir, getattr(a, "set"))["ok"] else 1)

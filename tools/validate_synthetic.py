@@ -22,7 +22,7 @@ import numpy as np
 
 
 def main(steps: int = 600, out_dir: str = "logs/validate_synthetic",
-         overrides: list | None = None):
+         overrides: list | None = None, eval_only: bool = False):
     from partseg_tpu.data.loader import make_loader
     from partseg_tpu.data.registry import build_dataset
     from partseg_tpu.evals.landmarks import (
@@ -42,9 +42,21 @@ def main(steps: int = 600, out_dir: str = "logs/validate_synthetic",
         from partseg_tpu.train.config import apply_overrides
 
         cfg = apply_overrides(cfg, overrides)
+    if cfg.augment.warp_every > 1 and cfg.steps % cfg.augment.warp_every:
+        # warp_every periods compile as one program; round the budget UP
+        # to a whole period (the loop rejects partial periods).
+        we = cfg.augment.warp_every
+        cfg = cfg.replace(steps=cfg.steps + we - cfg.steps % we)
 
-    state = train(cfg, restore=False)
     model = PartNet(cfg.model)
+    if eval_only:
+        # Training already happened (e.g. via the CLI's --segment_steps
+        # leak-bounded path); evaluate the on-disk checkpoint.
+        from partseg_tpu.evals.infer import load_model_and_params
+
+        model, trained_params = load_model_and_params(cfg, out_dir)
+    else:
+        trained_params = train(cfg, restore=False).params
 
     # Metrics history from the run dir.
     import pathlib
@@ -71,7 +83,7 @@ def main(steps: int = 600, out_dir: str = "logs/validate_synthetic",
         W = fit_landmark_regressor(mu_tr, gt_tr)
         return landmark_error(W, mu_te, gt_te, iod_fn=diag)
 
-    trained_err = error_for(state.params)
+    trained_err = error_for(trained_params)
     rand_state = create_state(cfg, model, jax.random.key(123))
     random_err = error_for(rand_state.params)
 
@@ -98,5 +110,11 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--out_dir", default="logs/validate_synthetic")
     ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL")
+    ap.add_argument("--eval_only", action="store_true",
+                    help="skip training; evaluate the out_dir checkpoint "
+                         "(pair with train.cli --segment_steps)")
     a = ap.parse_args()
-    raise SystemExit(0 if main(a.steps, a.out_dir, getattr(a, "set"))["ok"] else 1)
+    raise SystemExit(
+        0 if main(a.steps, a.out_dir, getattr(a, "set"),
+                  eval_only=a.eval_only)["ok"] else 1
+    )
