@@ -72,6 +72,15 @@ class TrainConfig:
     # chip's HBM cannot hold the activations. Device count must be
     # divisible by it; loss.swap_weight must be 0.
     space_shards: int = 1
+    # >1 enables on-device data echoing (Choi et al. 2019): each host
+    # batch feeds E consecutive optimizer steps, each with FRESH paired
+    # TPS/color augmentation draws (keys fold state.step, which
+    # advances per echo). Divides host decode demand by E — the lever
+    # for input-bound hosts (docs/perf_ledger.md host-feed section).
+    # The model never sees the raw batch, only augmented views, so
+    # echoing re-augments rather than repeats; quality must still be
+    # gated per-recipe via tools/quality_study.py before adopting E>1.
+    data_echo: int = 1
     seed: int = 0
 
     log_every: int = 50

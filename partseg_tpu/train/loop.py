@@ -192,10 +192,13 @@ def train(
         # batch per step, so seeking to the restored step reproduces the
         # uninterrupted batch sequence exactly (SURVEY.md §5.4). Callers
         # passing their own data_iter own this seek themselves.
+        # data_echo>1 consumes one batch per E steps, so the seek target
+        # is start_step // E (loop group alignment is validated below).
         data_iter = prefetch(
             make_loader(
                 dataset, per_host_batch, seed=cfg.seed, num_workers=4,
-                backend=cfg.loader_backend, start_batch=start_step,
+                backend=cfg.loader_backend,
+                start_batch=start_step // cfg.data_echo,
             )
         )
 
@@ -219,23 +222,32 @@ def train(
     # unchanged; checkpoints are only written at period boundaries, so
     # restores are always aligned.
     period = getattr(step_fn, "warp_period", 1)
-    if period > 1:
-        if start_step % period:
+    # data_echo>1: one fetch group (period batches) is re-dispatched E
+    # times before fetching again; the fetch/seek arithmetic needs step
+    # boundaries aligned to period*E (checkpoints land on multiples of
+    # ckpt_every, which the group check below covers on resume).
+    echo = cfg.data_echo
+    if echo < 1:
+        raise ValueError(f"data_echo must be >= 1, got {echo}")
+    group = period * echo
+    if group > 1:
+        if start_step % group:
             raise ValueError(
                 f"restored step {start_step} is not aligned to "
-                f"augment.warp_every={period}; warp-scheduled runs only "
-                "checkpoint at period boundaries — this checkpoint came "
-                "from a different schedule"
+                f"augment.warp_every*data_echo={group}; scheduled runs "
+                "only checkpoint at group boundaries — this checkpoint "
+                "came from a different schedule"
             )
-        if (cfg.steps - start_step) % period:
+        if (cfg.steps - start_step) % group:
             raise ValueError(
                 f"steps={cfg.steps} must be a multiple of "
-                f"augment.warp_every={period} (the schedule period is "
-                "compiled as one program)"
+                f"augment.warp_every*data_echo={group} (the schedule "
+                "period compiles as one program; echo re-dispatches it)"
             )
 
     t_last = time.perf_counter()
     imgs_since = 0
+    echoed_batches = None
     for step in range(start_step, cfg.steps, period):
         if cfg.profile_steps and step <= cfg.profile_steps[0] < step + period:
             jax.profiler.start_trace(os.path.join(cfg.ckpt_dir, "profile"))
@@ -254,12 +266,19 @@ def train(
                 "aug_id": _globalize(aug_id, bsh_id),
             }
 
+        # data_echo: fetch a fresh group of batches once per E
+        # dispatches, re-dispatching the same device arrays in between.
+        # Augmentation draws still differ per echo (keys fold
+        # state.step, which advances every sub-step); aug_id — which
+        # exists for sharding-invariance — repeats across echoes by
+        # design. start_step is group-aligned (validated above).
+        if step % group == 0 or echoed_batches is None:
+            echoed_batches = tuple(_device_batch(j) for j in range(period))
+        batches = echoed_batches
+        device_batch = batches[0]            # warp-on sub-step, for viz
         if period == 1:
-            device_batch = _device_batch(0)
-            state, metrics = step_fn(state, device_batch, base_key)
+            state, metrics = step_fn(state, batches[0], base_key)
         else:
-            batches = tuple(_device_batch(j) for j in range(period))
-            device_batch = batches[0]        # warp-on sub-step, for viz
             state, metrics = step_fn(state, batches, base_key)
         imgs_since += cfg.global_batch * period
 
@@ -289,7 +308,10 @@ def train(
             ckpt.wait()
             os._exit(42)
 
-        ckpt.save(step + period, state)
+        if (step + period) % group == 0:
+            # Echoed runs checkpoint only at group boundaries so the
+            # resume seek (start_batch = step // E) stays exact.
+            ckpt.save(step + period, state)
 
     ckpt.save(cfg.steps, state, force=True)
     ckpt.wait()

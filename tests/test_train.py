@@ -159,6 +159,53 @@ def test_smoke_train_warp_every_schedule(tmp_path):
         train(cfg.replace(steps=7, ckpt_dir=str(tmp_path / "run2")))
 
 
+def test_data_echo_consumes_one_batch_per_group(tmp_path):
+    # data_echo=2: each fetched batch feeds 2 optimizer steps (fresh
+    # augmentation draws per echo — keys fold state.step). With an
+    # explicit data_iter (no prefetch), exactly steps/E batches are
+    # pulled.
+    ds = SyntheticBlobs(size=16, n_blobs=3, n_examples=64)
+    pulls = []
+
+    def counting():
+        for b in make_loader(ds, TINY.global_batch, seed=0):
+            pulls.append(1)
+            yield b
+
+    cfg = TINY.replace(steps=4, ckpt_dir=str(tmp_path / "run"),
+                       data_echo=2)
+    state = train(cfg, data_iter=counting())
+    assert int(state.step) == 4
+    assert sum(pulls) == 2, pulls
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.all(np.isfinite(np.asarray(l, np.float32))) for l in leaves)
+    # A step budget that isn't a multiple of the echo group is rejected.
+    with pytest.raises(ValueError, match="multiple of"):
+        train(cfg.replace(steps=5, ckpt_dir=str(tmp_path / "run2")))
+
+
+def test_data_echo_resume_seeks_by_group(tmp_path, monkeypatch):
+    # Resume under data_echo=2 must seek the loader to step // 2 so the
+    # post-restore batch sequence matches the uninterrupted stream, and
+    # checkpoints must only land on group-aligned steps.
+    import partseg_tpu.train.loop as loop_mod
+
+    starts = []
+    real = loop_mod.make_loader
+
+    def spy(*a, **kw):
+        starts.append(kw.get("start_batch", 0))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(loop_mod, "make_loader", spy)
+    cfg = TINY.replace(steps=4, ckpt_dir=str(tmp_path / "run"),
+                       ckpt_every=2, data_echo=2)
+    train(cfg)
+    state = train(cfg.replace(steps=8))
+    assert int(state.step) == 8
+    assert starts == [0, 2], starts
+
+
 def test_registry_unknown_dataset():
     with pytest.raises(KeyError, match="synthetic"):
         build_dataset("nope")
