@@ -81,11 +81,8 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
             make_train_period(cfg, model, sampler, perceptual),
             donate_argnums=0,
         )
-
-        def step_fn(state, batch, key):
-            return period_fn(state, (batch,) * every, key)
     else:
-        step_fn = jax.jit(
+        single_fn = jax.jit(
             make_train_step(cfg, model, sampler, perceptual),
             donate_argnums=0,
         )
@@ -119,13 +116,25 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
         def next_batch():
             return batch
 
+    if every > 1:
+        # The real train loop feeds `every` FRESH batches per period
+        # dispatch. Device-resident mode reuses one buffer (pure-perf
+        # measurement); pipeline mode must pay the full host decode
+        # cost per sub-step or the "_piped" number would overstate
+        # sustainable throughput by ~every×.
+        def step_fn(state, key):
+            return period_fn(state, tuple(next_batch() for _ in range(every)), key)
+    else:
+        def step_fn(state, key):
+            return single_fn(state, next_batch(), key)
+
     for _ in range(warmup):
-        state, metrics = step_fn(state, next_batch(), key)
+        state, metrics = step_fn(state, key)
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, metrics = step_fn(state, next_batch(), key)
+        state, metrics = step_fn(state, key)
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 

@@ -184,10 +184,11 @@ def sharded_shape_encoder(
     """
     p = params["params"] if "params" in params else params
     h_local = x.shape[1]
-    if h_local % (2 ** (depth + 1)):
+    need = stem_stride * 2 ** depth
+    if h_local % need:
         raise ValueError(
-            f"H_local={h_local} must be divisible by 2^(depth+1)="
-            f"{2 ** (depth + 1)} (stem stride × hourglass pools)"
+            f"H_local={h_local} must be divisible by stem_stride*2^depth="
+            f"{need} (stem stride × hourglass pools)"
         )
     x = _stem(x, p["_Stem_0"], axis_name, norm, stem_stride)
     for i in range(n_stacks):
@@ -219,6 +220,12 @@ def sharded_appearance_encoder(
     the 1×1 output head stays in the model dtype (no f32 logit island).
     Returns [B, H_local/stride, W/stride, C] appearance features."""
     p = params["params"] if "params" in params else params
+    need = stem_stride * 2 ** depth
+    if x.shape[1] % need:
+        raise ValueError(
+            f"H_local={x.shape[1]} must be divisible by stem_stride*"
+            f"2^depth={need} (stem stride × hourglass pools)"
+        )
     x = _stem(x, p["_Stem_0"], axis_name, norm, stem_stride)
     x = _hourglass(x, p["Hourglass_0"], depth, axis_name, norm)
     if head_upsample:

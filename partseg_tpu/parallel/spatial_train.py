@@ -51,6 +51,7 @@ from partseg_tpu.parallel.spatial import (
 from partseg_tpu.parallel.spatial_model import (
     _conv,
     _resblock,
+    _upsample2,
     sharded_appearance_encoder,
     sharded_shape_encoder,
     sharded_group_norm,
@@ -68,12 +69,6 @@ def _pmean_elems(x: jax.Array, axis_name: str) -> jax.Array:
     n = jax.lax.axis_size(axis_name)
     s = jax.lax.psum(jnp.sum(x), axis_name)
     return s / (x.size * n)
-
-
-def _upsample2(x):
-    b, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-    return x.reshape(b, 2 * h, 2 * w, c)
 
 
 # ------------------------------------------------------------------ decoder

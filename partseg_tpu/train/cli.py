@@ -95,6 +95,18 @@ def _run_segmented(args) -> None:
 
     if args.steps is None or args.ckpt_dir is None:
         raise SystemExit("--segment_steps requires --steps and --ckpt_dir")
+    if args.no_restore and _latest_ckpt_step(args.ckpt_dir) > 0:
+        # A fresh segmented run over old checkpoints would train segment
+        # 1 from scratch but then "resume" the STALE higher-step
+        # checkpoint for segment 2 (Orbax also refuses interval saves
+        # below the existing step). Refuse instead of silently mixing
+        # runs.
+        raise SystemExit(
+            f"--no-restore with --segment_steps requires a clean run dir, "
+            f"but {args.ckpt_dir} already has a checkpoint at step "
+            f"{_latest_ckpt_step(args.ckpt_dir)}; delete it or drop "
+            "--no-restore"
+        )
     cur = 0 if args.no_restore else _latest_ckpt_step(args.ckpt_dir)
     first = True
     while cur < args.steps:
@@ -108,6 +120,8 @@ def _run_segmented(args) -> None:
             cmd += ["--platform", args.platform]
         if args.debug_nans:
             cmd += ["--debug_nans"]
+        if args.coordinator:
+            cmd += ["--coordinator", args.coordinator]
         if first and args.no_restore:
             cmd += ["--no-restore"]
         print(f"[segment] steps {cur} -> {target}", flush=True)

@@ -70,7 +70,8 @@ class TrainConfig:
     # >1 trains spatially sharded: image rows split over a "space" mesh
     # axis (parallel/spatial_train.py) — the >128px path where one
     # chip's HBM cannot hold the activations. Device count must be
-    # divisible by it; loss.swap_weight must be 0.
+    # divisible by it. All losses incl. the appearance swap run sharded
+    # (exactness-tested vs the unsharded step).
     space_shards: int = 1
     # >1 enables on-device data echoing (Choi et al. 2019): each host
     # batch feeds E consecutive optimizer steps, each with FRESH paired

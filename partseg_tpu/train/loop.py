@@ -244,6 +244,13 @@ def train(
                 f"augment.warp_every*data_echo={group} (the schedule "
                 "period compiles as one program; echo re-dispatches it)"
             )
+        if cfg.ckpt_every % group:
+            raise ValueError(
+                f"ckpt_every={cfg.ckpt_every} must be a multiple of "
+                f"augment.warp_every*data_echo={group}: checkpoints only "
+                "land on group boundaries, so any other cadence would "
+                f"silently stretch to lcm({group}, {cfg.ckpt_every})"
+            )
 
     t_last = time.perf_counter()
     imgs_since = 0
@@ -334,16 +341,37 @@ def _globalize(host_array, sharding):
 
 
 def _host_local_rows(arr, n: int):
-    """First n rows of THIS host's addressable shards of a global array.
+    """First n batch rows of THIS host's addressable shards of a global
+    array.
 
     Multi-host safe: global-array `[:n]` indexing would touch
     non-addressable shards living on other hosts. Logging only needs a
-    few sample images, so process-local rows are the right content."""
-    shards = sorted(
-        arr.addressable_shards, key=lambda s: s.index[0].start or 0
-    )
-    rows = np.concatenate([np.asarray(s.data) for s in shards])
-    return rows[:n]
+    few sample images, so process-local rows are the right content.
+
+    Handles 2-D ("data", "space") shardings too: shards of the same
+    batch slice are image-row pieces — reassemble them along axis 1
+    before stacking batch groups (a plain axis-0 concat would log
+    half-height images as separate samples)."""
+    groups: dict[int, list] = {}
+    seen = set()
+    for s in arr.addressable_shards:
+        key = tuple((sl.start, sl.stop) for sl in s.index)
+        if key in seen:           # replicas (unsharded mesh axes)
+            continue
+        seen.add(key)
+        groups.setdefault(s.index[0].start or 0, []).append(s)
+    batches = []
+    for b0 in sorted(groups):
+        parts = sorted(
+            groups[b0],
+            key=lambda s: (s.index[1].start or 0) if len(s.index) > 1 else 0,
+        )
+        batches.append(
+            np.concatenate([np.asarray(s.data) for s in parts], axis=1)
+            if len(parts) > 1
+            else np.asarray(parts[0].data)
+        )
+    return np.concatenate(batches)[:n]
 
 
 def _log_images(logger: MetricLogger, viz_fn, state, batch, step: int):

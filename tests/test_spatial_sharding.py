@@ -175,14 +175,21 @@ def test_sharded_shape_encoder_matches_flax_forward():
 
 
 @functools.lru_cache(None)
-def _norm_mode_case(norm):
+def _norm_mode_case_np(norm):
+    # CLAUDE.md: never lru_cache jnp arrays — cache NUMPY (host) copies
+    # and rehydrate per call.
     from partseg_tpu.models.encoders import ShapeEncoder
 
     enc = ShapeEncoder(n_parts=3, background=True, depth=2, features=16,
                        n_stacks=1, norm=norm, dtype=jnp.float32)
     x = jax.random.uniform(jax.random.key(20), (2, 64, 32, 3))
     params = enc.init(jax.random.key(21), x)
-    return enc, x, params
+    return enc, np.asarray(x), jax.device_get(params)
+
+
+def _norm_mode_case(norm):
+    enc, x, params = _norm_mode_case_np(norm)
+    return enc, jnp.asarray(x), params
 
 
 def test_sharded_shape_encoder_all_norm_modes():

@@ -206,6 +206,26 @@ def test_data_echo_resume_seeks_by_group(tmp_path, monkeypatch):
     assert starts == [0, 2], starts
 
 
+def test_host_local_rows_reassembles_space_shards():
+    # _log_images support: under a ("data","space") mesh the image is
+    # sharded in BOTH batch and row dims — _host_local_rows must stitch
+    # row pieces back to full-height samples (an axis-0 concat would
+    # log half-height images as separate samples).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from partseg_tpu.dist.mesh import make_spatial_mesh
+    from partseg_tpu.train.loop import _host_local_rows
+
+    mesh = make_spatial_mesh(2)          # 4 data x 2 space on 8 devices
+    x = np.arange(8 * 16 * 4 * 3, dtype=np.float32).reshape(8, 16, 4, 3)
+    g = jax.device_put(x, NamedSharding(mesh, P("data", "space")))
+    rows = _host_local_rows(g, 3)
+    np.testing.assert_array_equal(rows, x[:3])
+    # Replicated arrays (unsharded axes) must not be double-counted.
+    r = jax.device_put(x, NamedSharding(mesh, P("data")))
+    np.testing.assert_array_equal(_host_local_rows(r, 5), x[:5])
+
+
 def test_registry_unknown_dataset():
     with pytest.raises(KeyError, match="synthetic"):
         build_dataset("nope")
