@@ -123,6 +123,20 @@ VARIANTS_128 = {
         ],
         None,
     ),
+    # warp_every=4 on top of the combined rung: 4-step unrolled period,
+    # equivariance pairing on every 4th step only — higher quality risk,
+    # gate before any adoption.
+    "speed128_r4_we4": (
+        SPEED128
+        + [
+            "model.decoder_out_size=64",
+            "model.stem_stride=4",
+            "augment.warp_every=4",
+            "loss.vgg_layers=('relu1_2',)",
+            "loss.vgg_trim_blocks=1",
+        ],
+        None,
+    ),
     # f8 fusion-boundary activation storage on top of the combined r4
     # rung (blocks.f8_store; straight-through grad).
     "speed128_r4_f8": (
