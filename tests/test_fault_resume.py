@@ -53,3 +53,19 @@ def test_fault_injection_then_resume(tmp_path):
         for l in (pathlib.Path(run_dir) / "metrics.jsonl").read_text().splitlines()
     ]
     assert max(steps) == 19
+
+
+def test_segmented_no_restore_refuses_stale_checkpoints(tmp_path):
+    # cli._run_segmented: a "fresh" segmented run over a dir that
+    # already has checkpoints would silently mix runs (segment 2 would
+    # restore the STALE higher-step checkpoint) — it must refuse before
+    # touching jax. Pure-python path, no training.
+    from partseg_tpu.train import cli
+
+    run = tmp_path / "run"
+    (run / "checkpoints" / "600").mkdir(parents=True)
+    with pytest.raises(SystemExit, match="clean run dir"):
+        cli.main([
+            "--config", "configs/synthetic.py", "--ckpt_dir", str(run),
+            "--steps", "1200", "--segment_steps", "600", "--no-restore",
+        ])
