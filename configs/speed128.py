@@ -13,13 +13,20 @@ per step. The rungs, each measured on chip (docs/perf_ledger.md):
     evals/transfer.py resets it to None automatically)  → 4,304
   + stem_stride=4 (4×4 space-to-depth stem; the whole trunk runs at
     32², quartering its bytes; part maps at 32²)        → 7,322
+  + warp_every=2 (TPS warp on even steps only, whole period compiled
+    as ONE unrolled two-sub-step program — train/step.py)  → 9,307
+  + VGG ≤relu1_2 only (the loss reads 4× fewer feature
+    bytes)                                              → 11,004
 
 Quality gating: tools/quality_study.py --px 128 trains the ACTUAL
 recipes (this config vs configs/celeba.py's flagship) at equal
 WALL-CLOCK with step budgets scaled by measured throughput; the bench
-default must match the flagship's landmark error and mIoU there (see
-STATUS.md for the r3 gate table). Quality configs (configs/celeba.py)
-keep the full trunk, full VGG, and full-res decoding.
+default must match the flagship's landmark error and mIoU there. The
+r4 gate run (logs/quality_study_r4/result.json, STATUS.md table):
+this recipe at equal wall-clock BEATS the flagship on landmark error
+(0.593 vs 0.697 %-diag) AND mIoU (0.2667 vs 0.2543). Quality configs
+(configs/celeba.py) keep the full trunk, full VGG, full-res decoding,
+and per-step warps.
 """
 
 from partseg_tpu.augment.pair import AugmentConfig
@@ -34,10 +41,10 @@ def get_config() -> TrainConfig:
             depth=3, decoder_scales=3, decoder_features=(96, 48, 24),
             decoder_out_size=64, stem_stride=4,
         ),
-        augment=AugmentConfig(),
+        augment=AugmentConfig(warp_every=2),
         loss=LossConfig(
-            vgg_layers=("relu1_2", "relu2_2"),
-            vgg_trim_blocks=2,
+            vgg_layers=("relu1_2",),
+            vgg_trim_blocks=1,
             vgg_resolution=64,
         ),
         optim=OptimConfig(lr=1e-3, decay_steps=200_000),

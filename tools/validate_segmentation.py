@@ -49,12 +49,14 @@ def main(ckpt_dir: str, overrides: list | None = None):
         "miou_random": round(rand["miou"], 4),
         "fg_iou_random": round(rand["fg_iou"], 4),
     }
-    print(json.dumps(result))
     # Round-1 bar (2000-step synthetic run reaches mIoU 0.385 / fg 0.29
     # vs random 0.157 / 0.0); tighten toward fg>0.5 once the seg loss is
     # tuned on real data in later rounds.
     ok = trained["miou"] > 2 * rand["miou"] and trained["fg_iou"] > 0.25
     result["ok"] = ok
+    # "ok" must be IN the json line: study orchestrators parse the last
+    # json line for it (the r4 study crashed on a pre-"ok" print here).
+    print(json.dumps(result))
     print("SEG VALIDATION", "PASS" if ok else "FAIL")
     return result
 
