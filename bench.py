@@ -110,8 +110,20 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
             depth=4,
         )
 
+        # data_echo>1 (train/loop.py semantics): each fetched host batch
+        # feeds E consecutive steps — the host-demand lever, measurable
+        # here end-to-end: the _piped rate should rise toward the
+        # device-bound rate as E grows on an input-bound host.
+        echo = {"n": 0, "cur": None}
+
         def next_batch():
-            return {"image": jax.device_put(next(it)["image"], batch_sharding(mesh))}
+            if echo["n"] == 0:
+                echo["cur"] = {
+                    "image": jax.device_put(next(it)["image"], batch_sharding(mesh))
+                }
+                echo["n"] = cfg.data_echo
+            echo["n"] -= 1
+            return echo["cur"]
     else:
         def next_batch():
             return batch
