@@ -11,10 +11,14 @@ evals/export.py. Two paths, same forward:
   exported — serialize → deserialize → call, i.e. exactly what a
              serving binary that loads the StableHLO artifact executes.
 
-Prints one JSON line per path. Wall-clock is trustworthy here: the
-batched forward is a single large dispatch (CLAUDE.md's warning
-concerns loops of SMALL jits through the tunnel; we also cross-check
-with a 10-repeat inner loop).
+Prints one JSON line per path. CAVEAT (measured, 2026-08-18): through
+the axon tunnel these wall-clock numbers are DISPATCH-bound and drift
+with loop length (164k at --steps 30 vs 345k at --steps 300 for the
+same speed128 forward) — CLAUDE.md's small-jit warning applies. The
+authoritative capacity numbers come from profiler traces of the same
+forward (docs/perf_ledger.md serving section): 0.64 ms / 256 imgs
+(speed128 encoder) and 8.8 ms / 256 (flagship) of device-op time. On
+a production host (local PCIe) wall-clock converges to those.
 
 Run: python tools/bench_infer.py [--config configs/speed128.py]
      [--batch 256] [--ckpt_dir ...]
