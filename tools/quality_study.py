@@ -137,6 +137,23 @@ VARIANTS_128 = {
         ],
         None,
     ),
+    # data_echo=4 on top of the shipped default: each host batch feeds
+    # 4 steps with fresh augmentation draws (host decode demand ÷ 4 —
+    # the input-bound-host lever; bench --pipeline measured 913 → 3,256
+    # img/s on the 1-core sandbox). Device rate is unchanged, so the
+    # budget rate equals the r4 rung's.
+    "speed128_r4_echo4": (
+        SPEED128
+        + [
+            "model.decoder_out_size=64",
+            "model.stem_stride=4",
+            "augment.warp_every=2",
+            "loss.vgg_layers=('relu1_2',)",
+            "loss.vgg_trim_blocks=1",
+            "data_echo=4",
+        ],
+        None,
+    ),
     # f8 fusion-boundary activation storage on top of the combined r4
     # rung (blocks.f8_store; straight-through grad).
     "speed128_r4_f8": (
@@ -278,10 +295,13 @@ def main_128(base_steps: int, base_dir: str, variants: list[str],
     rows = {k: dict(v) for k, v in prior_rows.items() if k not in sel}
     for name, (ov, rate) in sel.items():
         steps = max(1, round(base_steps * rate / flag_rate))
-        # warp_every periods compile as one program; budgets round UP to
-        # whole periods (the train loop rejects partial periods).
+        # warp_every periods compile as one program and data_echo
+        # re-dispatches them; budgets round UP to whole groups (the
+        # train loop rejects partial warp_every*data_echo groups).
         we = next((int(o.split("=")[1]) for o in ov
                    if o.startswith("augment.warp_every=")), 1)
+        we *= next((int(o.split("=")[1]) for o in ov
+                    if o.startswith("data_echo=")), 1)
         if we > 1 and steps % we:
             steps += we - steps % we
         rows[name] = run_variant(name, PX128_BASE + ov, steps, base_dir)
