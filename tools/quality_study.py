@@ -123,6 +123,19 @@ VARIANTS_128 = {
         ],
         None,
     ),
+    # warp_every=3 — the middle rung between the shipped we2 (PASS,
+    # 11,042) and we4 (12,827 but gate-FAIL on mIoU): warp amortized /3.
+    "speed128_r4_we3": (
+        SPEED128
+        + [
+            "model.decoder_out_size=64",
+            "model.stem_stride=4",
+            "augment.warp_every=3",
+            "loss.vgg_layers=('relu1_2',)",
+            "loss.vgg_trim_blocks=1",
+        ],
+        None,
+    ),
     # warp_every=4 on top of the combined rung: 4-step unrolled period,
     # equivariance pairing on every 4th step only — higher quality risk,
     # gate before any adoption.
