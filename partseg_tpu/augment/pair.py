@@ -56,6 +56,22 @@ class AugmentConfig:
     # 170 img/s in the real loop). Data-independent control flow
     # belongs at trace time, in one executable.
     warp_every: int = 1
+    # Warp only the first ceil(B·f) samples of each (per-shard) batch;
+    # the rest pass through with the exact-identity transform. Unlike
+    # warp_every (full batch every N-th step), this keeps equivariance
+    # signal in EVERY step at 1/f of the warp kernel cost — the warp
+    # runs on a B·f sub-batch, so its custom call and the layout copies
+    # around it shrink proportionally. 1.0 = paper setup. STATIC knob
+    # (the split is a trace-time slice — no control flow). Composes
+    # with warp_every (fraction applies on warp-on sub-steps).
+    #
+    # Sharding note: "first ceil(B·f)" is evaluated per data shard, so
+    # WHICH samples get warped depends on the topology (the warped
+    # count and all random draws do not — draws stay aug_id-keyed).
+    # Loader order is already random, so the selection is distribution-
+    # identical; exact cross-topology bitwise parity holds only for
+    # warp_fraction=1, which the DP-parity test pins.
+    warp_fraction: float = 1.0
     padding_mode: str = "border"
     warp_impl: str = "auto"   # "auto" | "fused" | "gather"
 
@@ -120,7 +136,26 @@ def make_pair(
             params, img, padding_mode=cfg.padding_mode, impl=cfg.warp_impl
         )
 
-    if warp_on:
+    frac = float(cfg.warp_fraction)
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"warp_fraction must be in (0, 1], got {frac}")
+    if warp_on and frac < 1.0:
+        # Static sub-batch split: warp the first nw samples, pass the
+        # rest through with the exact identity (same graceful
+        # degradation as a warp_every off-step, but per sample — every
+        # step keeps some true-warp equivariance pairs).
+        import math
+
+        nw = min(b, max(1, math.ceil(b * frac)))
+        head = jax.tree.map(lambda a: a[:nw], tps)
+        x_s = jnp.concatenate([_warp(head, x[:nw]), x[nw:]], axis=0)
+        ident = sampler.identity(b - nw)
+        tps = jax.tree.map(
+            lambda hd, i: jnp.concatenate([hd, i.astype(hd.dtype)], axis=0),
+            head,
+            ident,
+        )
+    elif warp_on:
         x_s = _warp(tps, x)
     else:
         # Off-step graph: the sampled tps is dead code (DCE'd by XLA;

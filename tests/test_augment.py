@@ -187,3 +187,62 @@ def test_make_pair_warp_on_static():
     np.testing.assert_array_equal(np.asarray(on["x_a"]), np.asarray(ref["x_a"]))
     # On/off color draws agree (rng consistency across the two graphs).
     np.testing.assert_array_equal(np.asarray(off["x_a"]), np.asarray(ref["x_a"]))
+
+
+def test_make_pair_warp_fraction():
+    # AugmentConfig.warp_fraction: only the first ceil(B·f) samples get
+    # the TPS warp (at 1/f kernel cost); the tail passes through with
+    # the EXACT identity transform. Every step keeps true-warp
+    # equivariance pairs — the per-sample analog of warp_every.
+    cfg = AugmentConfig(warp_fraction=0.5)
+    sampler = cfg.make_sampler()
+    b = 4
+    img = jax.random.uniform(jax.random.key(12), (b, 32, 32, 3))
+    key = jax.random.key(13)
+
+    out = make_pair(img, key, sampler, cfg)
+    full = make_pair(img, key, sampler, AugmentConfig())
+    # Head: bit-for-bit the full-warp result (same draws — the split is
+    # a trace-time slice after sampling).
+    np.testing.assert_array_equal(
+        np.asarray(out["x_s"][:2]), np.asarray(full["x_s"][:2])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["tps"].weights[:2]), np.asarray(full["tps"].weights[:2])
+    )
+    # Tail: untouched images + exact identity transform.
+    np.testing.assert_array_equal(np.asarray(out["x_s"][2:]), np.asarray(img[2:]))
+    np.testing.assert_allclose(
+        np.asarray(out["tps"].weights[2:]),
+        np.asarray(sampler.identity(2).weights),
+        atol=1e-6,
+    )
+    pts = jax.random.uniform(jax.random.key(3), (2, 5, 2), minval=-1, maxval=1)
+    np.testing.assert_allclose(
+        np.asarray(sampler.transform_points(
+            jax.tree.map(lambda w: w[2:], out["tps"]), pts)),
+        np.asarray(pts), atol=1e-5,
+    )
+    # Color jitter is fraction-independent (full batch, same draws).
+    np.testing.assert_array_equal(np.asarray(out["x_a"]), np.asarray(full["x_a"]))
+
+    # Jits, and rounds up (f=0.3 of 4 → 2 warped samples).
+    cfg3 = AugmentConfig(warp_fraction=0.3)
+
+    @jax.jit
+    def f(x, k):
+        return make_pair(x, k, sampler, cfg3)["x_s"]
+
+    xs = f(img, key)
+    assert np.abs(np.asarray(xs[:2]) - np.asarray(img[:2])).max() > 1e-3
+    np.testing.assert_array_equal(np.asarray(xs[2:]), np.asarray(img[2:]))
+
+    # warp_on=False (warp_every off-step) overrides the fraction: no
+    # warp at all.
+    off = make_pair(img, key, sampler, cfg, warp_on=False)
+    np.testing.assert_array_equal(np.asarray(off["x_s"]), np.asarray(img))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_pair(img, key, sampler, AugmentConfig(warp_fraction=0.0))

@@ -150,6 +150,38 @@ VARIANTS_128 = {
         ],
         None,
     ),
+    # warp_fraction on top of the shipped we2 rung: warp only the first
+    # B·f samples of each warp-on sub-step (augment/pair.py) — the warp
+    # kernel runs on a sub-batch, so its cost (and the layout copies
+    # around it) shrink ∝ f while EVERY warp-on step keeps true-warp
+    # equivariance pairs. we2+wf50 ≈ we4's warp cost with we2's cadence
+    # — probing whether we4's gate failure was cadence (this passes) or
+    # total warped-pair count (this fails too).
+    "speed128_r4_wf50": (
+        SPEED128
+        + [
+            "model.decoder_out_size=64",
+            "model.stem_stride=4",
+            "augment.warp_every=2",
+            "augment.warp_fraction=0.5",
+            "loss.vgg_layers=('relu1_2',)",
+            "loss.vgg_trim_blocks=1",
+        ],
+        None,
+    ),
+    # Per-step signal at quarter cost (no cadence cut at all): the
+    # direct repair hypothesis for we4's mIoU failure.
+    "speed128_r4_wf25": (
+        SPEED128
+        + [
+            "model.decoder_out_size=64",
+            "model.stem_stride=4",
+            "augment.warp_fraction=0.25",
+            "loss.vgg_layers=('relu1_2',)",
+            "loss.vgg_trim_blocks=1",
+        ],
+        None,
+    ),
     # data_echo=4 on top of the shipped default: each host batch feeds
     # 4 steps with fresh augmentation draws (host decode demand ÷ 4 —
     # the input-bound-host lever; bench --pipeline measured 913 → 3,256
