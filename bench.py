@@ -69,6 +69,7 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
     perceptual = build_perceptual(cfg)
     sampler = cfg.augment.make_sampler()
     every = cfg.augment.warp_every
+    scan = cfg.scan_groups
     if every > 1:
         # warp_every schedule: the whole period is ONE compiled program
         # taking `every` batches (train/step.make_train_period — a
@@ -77,15 +78,24 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
         # period.
         from partseg_tpu.train.step import make_train_period
 
-        period_fn = jax.jit(
-            make_train_period(cfg, model, sampler, perceptual),
-            donate_argnums=0,
-        )
+        body = make_train_period(cfg, model, sampler, perceptual)
     else:
-        single_fn = jax.jit(
-            make_train_step(cfg, model, sampler, perceptual),
-            donate_argnums=0,
-        )
+        body = make_train_step(cfg, model, sampler, perceptual)
+    if scan > 1:
+        # scan_groups: lax.scan over `scan` stacked fetch groups — one
+        # dispatch = scan*every*data_echo steps, numerics-identical
+        # (train/step.compose_scan). Amortizes the per-dispatch tunnel
+        # round trip; the stacked input keeps HBM read traffic per step
+        # identical (scan reads one [B,...] slice per iteration).
+        from partseg_tpu.train.step import compose_scan
+
+        body = compose_scan(body, scan, cfg.data_echo)
+    fn = jax.jit(body, donate_argnums=0)
+    if every > 1:
+        period_fn = fn
+    else:
+        single_fn = fn
+    steps_per_dispatch = every * (cfg.data_echo if scan > 1 else 1) * scan
     key = jax.random.key(2)
 
     if pipeline:
@@ -128,7 +138,46 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
         def next_batch():
             return batch
 
-    if every > 1:
+    if scan > 1:
+        # Stacked xs: [scan, B, ...] per sub-slot. Device-resident mode
+        # materializes the stack once (same HBM bytes read per step as
+        # unstacked — scan consumes one slice per iteration); pipeline
+        # mode stacks `scan` fresh HOST fetches per sub-slot into ONE
+        # transfer, paying the real decode cost (data_echo re-use
+        # happens ON-device inside compose_scan, mirroring the loop —
+        # the host-side echo wrapper must not double-apply).
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        stk_sharding = NamedSharding(mesh, P(None, "data"))
+        if pipeline:
+            # next(it) directly (not next_batch): with scan, data_echo
+            # re-use is applied ON-device by compose_scan, so the host
+            # echo wrapper must be bypassed or echo would compound.
+            def make_xs():
+                return tuple(
+                    {"image": jax.device_put(
+                        np.stack([next(it)["image"] for _ in range(scan)]),
+                        stk_sharding)}
+                    for _ in range(every)
+                )
+        else:
+            resident_xs = tuple(
+                {"image": jax.device_put(
+                    jnp.broadcast_to(
+                        batch["image"], (scan,) + batch["image"].shape
+                    ),
+                    stk_sharding)}
+                for _ in range(every)
+            )
+
+            def make_xs():
+                return resident_xs
+
+        def step_fn(state, key):
+            xs = make_xs()
+            return fn(state, xs[0] if every == 1 else xs, key)
+    elif every > 1:
         # The real train loop feeds `every` FRESH batches per period
         # dispatch. Device-resident mode reuses one buffer (pure-perf
         # measurement); pipeline mode must pay the full host decode
@@ -150,8 +199,9 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 
-    # One dispatch covers `every` optimizer steps (and batches).
-    img_s_chip = cfg.global_batch * every * steps / dt / n_chips
+    # One dispatch covers steps_per_dispatch optimizer steps
+    # (warp_every sub-steps × scan_groups groups × on-device echoes).
+    img_s_chip = cfg.global_batch * steps_per_dispatch * steps / dt / n_chips
     result = {
         "metric": "train_throughput_128px" + ("_piped" if pipeline else ""),
         "value": round(img_s_chip, 1),

@@ -82,6 +82,16 @@ class TrainConfig:
     # echoing re-augments rather than repeats; quality must still be
     # gated per-recipe via tools/quality_study.py before adopting E>1.
     data_echo: int = 1
+    # >1 executes G consecutive fetch groups per jitted dispatch via
+    # lax.scan (train/step.compose_scan): the host stacks G groups of
+    # batches into ONE transfer and the device runs G*warp_every*
+    # data_echo optimizer steps per dispatch. NUMERICALLY IDENTICAL to
+    # scan_groups=1 (same step sequence, same per-step RNG folds —
+    # exactness-tested); purely a dispatch/transfer-overhead lever for
+    # remote-device transports (the axon tunnel serializes per-dispatch
+    # round trips — docs/perf_ledger.md). steps/ckpt_every/resume
+    # points must align to warp_every*data_echo*scan_groups.
+    scan_groups: int = 1
     seed: int = 0
 
     log_every: int = 50

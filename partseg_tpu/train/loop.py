@@ -74,9 +74,10 @@ def build_step_fn(cfg, model, sampler, perceptual, mesh):
     """
     from jax.sharding import PartitionSpec as P
 
-    from partseg_tpu.train.step import compose_period
+    from partseg_tpu.train.step import compose_period, compose_scan
 
     every = cfg.augment.warp_every
+    scan = cfg.scan_groups
     spatial = "space" in mesh.axis_names
 
     if spatial:
@@ -113,6 +114,18 @@ def build_step_fn(cfg, model, sampler, perceptual, mesh):
         body = compose_period([make_body(i == 0) for i in range(every)])
         spec = None if batch_spec is None else tuple([batch_spec] * every)
 
+    if scan > 1:
+        # lax.scan over stacked fetch groups (train/step.compose_scan):
+        # one dispatch = scan*every*data_echo steps, numerics-identical.
+        # The scan sits INSIDE shard_map (collectives are explicit
+        # pmeans in the sub-steps, legal under scan).
+        body = compose_scan(body, scan, cfg.data_echo)
+        if spec is not None:
+            spec = jax.tree.map(
+                lambda s: P(*((None,) + tuple(s))), spec,
+                is_leaf=lambda x: isinstance(x, P),
+            )
+
     if batch_spec is not None:
         # check_vma=False: pallas_call's out_shape carries no
         # varying-mesh-axes annotation, so the new shard_map VMA checker
@@ -126,13 +139,14 @@ def build_step_fn(cfg, model, sampler, perceptual, mesh):
             check_vma=False,
         )
     fn = jax.jit(body, donate_argnums=0)
-    if every <= 1:
+    if every <= 1 and scan <= 1:
         return fn
 
     def period_fn(state, batches, key):
         return fn(state, batches, key)
 
     period_fn.warp_period = every
+    period_fn.scan_groups = scan
     return period_fn
 
 
@@ -230,6 +244,31 @@ def train(
     if echo < 1:
         raise ValueError(f"data_echo must be >= 1, got {echo}")
     group = period * echo
+    # scan_groups>1: one dispatch covers `scan` fetch groups via
+    # lax.scan (compose_scan) — echo re-dispatch moves ON-device, the
+    # host stacks scan*period batches into one transfer per sub-slot.
+    scan = getattr(step_fn, "scan_groups", 1)
+    span = group * scan                 # optimizer steps per dispatch
+    stride = period if scan == 1 else span
+    if scan > 1:
+        if cfg.fault_injection_step is not None:
+            raise ValueError(
+                "fault_injection_step targets a single sub-step; it is "
+                "not supported with scan_groups>1 (a dispatch is "
+                f"{span} steps)"
+            )
+        if start_step % span or (cfg.steps - start_step) % span:
+            raise ValueError(
+                f"steps {start_step}..{cfg.steps} must align to "
+                f"warp_every*data_echo*scan_groups={span} (one scan "
+                "dispatch is indivisible)"
+            )
+        if cfg.ckpt_every % span:
+            raise ValueError(
+                f"ckpt_every={cfg.ckpt_every} must be a multiple of "
+                f"warp_every*data_echo*scan_groups={span}: checkpoints "
+                "only land on dispatch boundaries"
+            )
     if group > 1:
         if start_step % group:
             raise ValueError(
@@ -252,48 +291,86 @@ def train(
                 f"silently stretch to lcm({group}, {cfg.ckpt_every})"
             )
 
+    if scan > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        bsh_stk = NamedSharding(mesh, P(*((None,) + tuple(bsh.spec))))
+        bsh_id_stk = NamedSharding(mesh, P(*((None,) + tuple(bsh_id.spec))))
+
     t_last = time.perf_counter()
     imgs_since = 0
     echoed_batches = None
-    for step in range(start_step, cfg.steps, period):
-        if cfg.profile_steps and step <= cfg.profile_steps[0] < step + period:
+    for step in range(start_step, cfg.steps, stride):
+        if cfg.profile_steps and step <= cfg.profile_steps[0] < step + stride:
             jax.profiler.start_trace(os.path.join(cfg.ckpt_dir, "profile"))
 
-        def _device_batch(sub: int) -> dict:
+        def _host_batch(fetch_step: int, sub: int) -> dict:
             batch = next(data_iter)
             # Global sample ids drive per-sample augmentation keys,
             # making the draw identical under any sharding (see step.py).
             aug_id = (
                 np.arange(per_host_batch, dtype=np.int32)
                 + jax.process_index() * per_host_batch
-                + (step + sub) * cfg.global_batch
+                + (fetch_step + sub) * cfg.global_batch
             )
+            return {"image": batch["image"], "aug_id": aug_id}
+
+        def _device_batch(sub: int) -> dict:
+            hb = _host_batch(step, sub)
             return {
-                "image": _globalize(batch["image"], bsh),
-                "aug_id": _globalize(aug_id, bsh_id),
+                "image": _globalize(hb["image"], bsh),
+                "aug_id": _globalize(hb["aug_id"], bsh_id),
             }
 
-        # data_echo: fetch a fresh group of batches once per E
-        # dispatches, re-dispatching the same device arrays in between.
-        # Augmentation draws still differ per echo (keys fold
-        # state.step, which advances every sub-step); aug_id — which
-        # exists for sharding-invariance — repeats across echoes by
-        # design. start_step is group-aligned (validated above).
-        if step % group == 0 or echoed_batches is None:
-            echoed_batches = tuple(_device_batch(j) for j in range(period))
-        batches = echoed_batches
-        device_batch = batches[0]            # warp-on sub-step, for viz
-        if period == 1:
-            state, metrics = step_fn(state, batches[0], base_key)
+        if scan > 1:
+            # One dispatch = `scan` fetch groups: stack on HOST (one
+            # transfer per sub-slot instead of scan*period), scan slices
+            # the leading axis on device. Fetch order is group-major —
+            # identical to `scan` sequential dispatches, so seek
+            # arithmetic and aug_ids are unchanged.
+            hosts = [
+                [_host_batch(step + g * group, j) for j in range(period)]
+                for g in range(scan)
+            ]
+            stacked = tuple(
+                {
+                    "image": _globalize(
+                        np.stack([hosts[g][j]["image"] for g in range(scan)]),
+                        bsh_stk,
+                    ),
+                    "aug_id": _globalize(
+                        np.stack([hosts[g][j]["aug_id"] for g in range(scan)]),
+                        bsh_id_stk,
+                    ),
+                }
+                for j in range(period)
+            )
+            xs = stacked[0] if period == 1 else stacked
+            device_batch = jax.tree.map(lambda a: a[0], stacked[0])
+            state, metrics = step_fn(state, xs, base_key)
         else:
-            state, metrics = step_fn(state, batches, base_key)
-        imgs_since += cfg.global_batch * period
+            # data_echo: fetch a fresh group of batches once per E
+            # dispatches, re-dispatching the same device arrays in
+            # between. Augmentation draws still differ per echo (keys
+            # fold state.step, which advances every sub-step); aug_id —
+            # which exists for sharding-invariance — repeats across
+            # echoes by design. start_step is group-aligned (validated
+            # above).
+            if step % group == 0 or echoed_batches is None:
+                echoed_batches = tuple(_device_batch(j) for j in range(period))
+            batches = echoed_batches
+            device_batch = batches[0]        # warp-on sub-step, for viz
+            if period == 1:
+                state, metrics = step_fn(state, batches[0], base_key)
+            else:
+                state, metrics = step_fn(state, batches, base_key)
+        imgs_since += cfg.global_batch * stride
 
-        if cfg.profile_steps and step <= cfg.profile_steps[1] < step + period:
+        if cfg.profile_steps and step <= cfg.profile_steps[1] < step + stride:
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
 
-        if step % cfg.log_every < period or step + period >= cfg.steps:
+        if step % cfg.log_every < stride or step + stride >= cfg.steps:
             m = jax.device_get(metrics)      # pmean'd → identical on all hosts
             now = time.perf_counter()
             dt = now - t_last
@@ -305,20 +382,20 @@ def train(
             t_last = now
             imgs_since = 0
 
-        if cfg.image_log_every and step % cfg.image_log_every < period:
+        if cfg.image_log_every and step % cfg.image_log_every < stride:
             if jax.process_index() == 0:
                 _log_images(logger, viz_fn, state, device_batch, step)
 
         if (cfg.fault_injection_step is not None
-                and step <= cfg.fault_injection_step < step + period):
+                and step <= cfg.fault_injection_step < step + stride):
             print(f"[train] FAULT INJECTION at step {step} — exiting hard")
             ckpt.wait()
             os._exit(42)
 
-        if (step + period) % group == 0:
+        if (step + stride) % group == 0:
             # Echoed runs checkpoint only at group boundaries so the
             # resume seek (start_batch = step // E) stays exact.
-            ckpt.save(step + period, state)
+            ckpt.save(step + stride, state)
 
     ckpt.save(cfg.steps, state, force=True)
     ckpt.wait()

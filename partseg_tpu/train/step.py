@@ -188,6 +188,47 @@ def compose_period(subs: list) -> Callable:
     return period_step
 
 
+def compose_scan(body: Callable, scan_groups: int, data_echo: int = 1) -> Callable:
+    """Wrap a step/period body in ``lax.scan`` over ``scan_groups``
+    stacked fetch groups: ONE dispatch executes
+    scan_groups × data_echo × (body's steps) optimizer updates.
+
+    ``xs`` is the body's batch argument with every leaf stacked on a
+    new leading [scan_groups] axis (one fetch group per scan
+    iteration). Each group is applied ``data_echo`` consecutive times
+    (same batch, fresh step-folded augmentation keys) — the on-device
+    analog of the loop's echo re-dispatch.
+
+    NUMERICALLY IDENTICAL to dispatching the body sequentially: the
+    carry is the same TrainState and every sub-step derives its RNG by
+    folding the shared key with state.step (tests/test_train.py pins
+    exact equality). This is purely a dispatch-overhead lever: remote
+    transports (the axon tunnel) serialize a host round trip per
+    dispatch, which at sub-10ms steps dominates wall time; scan
+    amortizes it by scan_groups×. Metrics are the element-wise mean
+    over the whole dispatch.
+    """
+
+    def scan_dispatch(state: TrainState, stacked, key: jax.Array):
+        def group_body(st, batches):
+            ms = []
+            for _ in range(data_echo):
+                st, m = body(st, batches, key)  # body folds key w/ step
+                ms.append(m)
+            m = (
+                ms[0]
+                if data_echo == 1
+                else jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *ms)
+            )
+            return st, m
+
+        state, ms = jax.lax.scan(group_body, state, stacked)
+        metrics = jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+        return state, metrics
+
+    return scan_dispatch
+
+
 def _seg_consistency(cfg: TrainConfig, out) -> jax.Array:
     """Cross-entropy between the per-pixel part softmax (K+bg) and the
     stop-grad occupancy of the rendered Gaussians: a pixel belongs to

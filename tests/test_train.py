@@ -393,3 +393,71 @@ def test_warp_every_period_program():
             np.asarray(a, np.float32), np.asarray(r, np.float32),
             rtol=2e-4, atol=2e-6,
         )
+
+
+def test_scan_groups_loop_exact(tmp_path):
+    # cfg.scan_groups=2: the loop dispatches lax.scan over 2 stacked
+    # fetch groups (one host transfer per sub-slot). Must be
+    # NUMERICALLY equivalent to scan_groups=1 over the same data
+    # stream (same step sequence, same step-folded keys), consume the
+    # same number of loader batches, and reject misaligned budgets.
+    import dataclasses
+
+    ds_kw = dict(size=16, n_blobs=3, n_examples=64)
+    # f32 model: the scan body and the per-period program are different
+    # XLA executables, so bf16 cross-executable roundoff amplified by 8
+    # Adam steps would swamp the comparison; in f32 the drift is ~1e-7
+    # relative and the test verifies what matters — that the STEP
+    # SEQUENCE (batches, aug_ids, RNG folds, update order) is identical.
+    f32_model = dataclasses.replace(TINY.model, dtype=jnp.float32)
+
+    def run(scan, steps=8, echo=1, tag=""):
+        ds = SyntheticBlobs(**ds_kw)
+        pulls = []
+
+        def counting():
+            for b in make_loader(ds, TINY.global_batch, seed=0):
+                pulls.append(1)
+                yield b
+
+        cfg = TINY.replace(
+            model=f32_model,
+            steps=steps, ckpt_dir=str(tmp_path / f"run{scan}{echo}{tag}"),
+            ckpt_every=4, scan_groups=scan, data_echo=echo,
+            augment=dataclasses.replace(TINY.augment, warp_every=2),
+        )
+        state = train(cfg, data_iter=counting())
+        return state, sum(pulls)
+
+    s_scan, pulls_scan = run(scan=2)
+    s_seq, pulls_seq = run(scan=1)
+    assert pulls_scan == pulls_seq == 8  # steps batches (echo=1)
+    assert int(s_scan.step) == int(s_seq.step) == 8
+    for a, r in zip(jax.tree.leaves(s_scan.params), jax.tree.leaves(s_seq.params)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(r, np.float32),
+            rtol=2e-4, atol=2e-6,
+        )
+
+    # data_echo composes: echo moves on-device (compose_scan), fetch
+    # count and numerics still match the echoed sequential loop.
+    s_scan_e, pulls_scan_e = run(scan=2, echo=2, tag="e")
+    s_seq_e, pulls_seq_e = run(scan=1, echo=2, tag="e")
+    assert pulls_scan_e == pulls_seq_e == 4  # steps/echo batches
+    for a, r in zip(jax.tree.leaves(s_scan_e.params),
+                    jax.tree.leaves(s_seq_e.params)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(r, np.float32),
+            rtol=2e-4, atol=2e-6,
+        )
+
+    # Budgets not aligned to warp_every*data_echo*scan_groups fail loud.
+    import dataclasses as dc
+
+    bad = TINY.replace(
+        steps=6, ckpt_dir=str(tmp_path / "bad"), ckpt_every=4,
+        scan_groups=2,
+        augment=dc.replace(TINY.augment, warp_every=2),
+    )
+    with pytest.raises(ValueError, match="align"):
+        train(bad)

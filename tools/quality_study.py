@@ -233,7 +233,8 @@ def _run_json(cmd) -> dict:
     raise RuntimeError(f"{cmd[:4]}... printed no JSON (rc={r.returncode})")
 
 
-def run_variant(name, overrides, steps, base_dir, segment_steps=600):
+def run_variant(name, overrides, steps, base_dir, segment_steps=600,
+                scan=1):
     """Train (leak-bounded, fresh process per segment) then eval, all in
     subprocesses: the axon transport leaks its host staging buffer on
     EVERY host->device transfer (~13 MB/step at B=64/128px, measured —
@@ -250,6 +251,14 @@ def run_variant(name, overrides, steps, base_dir, segment_steps=600):
     print(f"=== variant {name}: steps={steps} overrides={overrides} ===",
           flush=True)
     common = [*overrides, "log_every=50", "image_log_every=0"]
+    if scan > 1:
+        # scan_groups batches `scan` fetch groups per dispatch
+        # (train/step.compose_scan — numerics-identical, exactness-
+        # tested), amortizing the axon tunnel's per-dispatch round trip
+        # that makes study training dispatch-bound (~1.4–3 steps/s wall
+        # at sub-10ms device steps). Checkpoints must land on dispatch
+        # boundaries: align ckpt_every to the segment length.
+        common += [f"scan_groups={scan}", f"ckpt_every={segment_steps}"]
     r = subprocess.run(
         [sys.executable, "-m", "partseg_tpu.train.cli",
          "--config", "configs/synthetic.py", "--ckpt_dir", out_dir,
@@ -299,7 +308,8 @@ def main_64(steps: int, base_dir: str):
 
 def main_128(base_steps: int, base_dir: str, variants: list[str],
              rates: dict[str, float] | None = None,
-             anchor_json: str | None = None):
+             anchor_json: str | None = None, scan: int = 1,
+             segment_steps: int = 600):
     """Equal-WALL-CLOCK study: variant v trains
     base_steps × rate_v / rate_flagship steps (same global batch, so
     steps/s ∝ img/s/chip).
@@ -340,16 +350,24 @@ def main_128(base_steps: int, base_dir: str, variants: list[str],
     rows = {k: dict(v) for k, v in prior_rows.items() if k not in sel}
     for name, (ov, rate) in sel.items():
         steps = max(1, round(base_steps * rate / flag_rate))
-        # warp_every periods compile as one program and data_echo
-        # re-dispatches them; budgets round UP to whole groups (the
-        # train loop rejects partial warp_every*data_echo groups).
+        # warp_every periods compile as one program, data_echo
+        # re-dispatches them, scan_groups scans over them; budgets round
+        # UP to whole dispatch spans (the train loop rejects partial
+        # warp_every*data_echo*scan_groups spans).
         we = next((int(o.split("=")[1]) for o in ov
                    if o.startswith("augment.warp_every=")), 1)
         we *= next((int(o.split("=")[1]) for o in ov
                     if o.startswith("data_echo=")), 1)
-        if we > 1 and steps % we:
-            steps += we - steps % we
-        rows[name] = run_variant(name, PX128_BASE + ov, steps, base_dir)
+        span = we * scan
+        if span > 1 and steps % span:
+            steps += span - steps % span
+        if scan > 1 and segment_steps % span:
+            raise SystemExit(
+                f"--scan {scan}: segment_steps={segment_steps} must be a "
+                f"multiple of the dispatch span {span} for variant {name}"
+            )
+        rows[name] = run_variant(name, PX128_BASE + ov, steps, base_dir,
+                                 segment_steps=segment_steps, scan=scan)
         rows[name]["img_s_chip"] = rate
 
     f = rows["flagship"]
@@ -402,6 +420,13 @@ if __name__ == "__main__":
     ap.add_argument("--anchor_json", default=None,
                     help="reuse rows (incl. the flagship anchor) from a "
                          "prior result.json instead of retraining them")
+    ap.add_argument("--scan", type=int, default=1,
+                    help="scan_groups for the TRAINING segments "
+                         "(numerics-identical dispatch batching; cuts "
+                         "the tunnel-bound study wall-clock severalfold)")
+    ap.add_argument("--segment_steps", type=int, default=600,
+                    help="steps per fresh-process training segment "
+                         "(bounds the axon transfer leak)")
     a = ap.parse_args()
     if a.px == 64:
         r = main_64(a.steps, a.base_dir)
@@ -410,5 +435,6 @@ if __name__ == "__main__":
             (k, float(v)) for k, v in (s.split("=") for s in a.rate)
         )
         r = main_128(a.base_steps, a.base_dir, a.variants.split(","), rates,
-                     anchor_json=a.anchor_json)
+                     anchor_json=a.anchor_json, scan=a.scan,
+                     segment_steps=a.segment_steps)
     raise SystemExit(0 if r["gate_pass"] else 1)
