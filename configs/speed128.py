@@ -18,9 +18,9 @@ per step. The rungs, each measured on chip (docs/perf_ledger.md):
   + VGG ≤relu1_2 only (the loss reads 4× fewer feature
     bytes)                                              → 11,004
   + scan_groups=8 (lax.scan over 8 stacked fetch groups per dispatch
-    — NUMERICS-IDENTICAL step packaging, exactness-tested; amortizes
-    the per-dispatch host round trip that remote transports
-    serialize)                                          → 11,783
+    — same step sequence/data stream, roundoff-level cross-executable
+    drift only (train/step.compose_scan); amortizes the per-dispatch
+    host round trip that remote transports serialize)   → 11,783
 
 Quality gating: tools/quality_study.py --px 128 trains the ACTUAL
 recipes (this config vs configs/celeba.py's flagship) at equal
@@ -55,9 +55,10 @@ def get_config() -> TrainConfig:
         dataset="celeba",
         global_batch=1024,               # 128/chip on v5e-8
         steps=200_000,
-        # One dispatch = warp_every*scan_groups = 16 steps (numerics-
-        # identical to 16 single dispatches — train/step.compose_scan);
-        # steps/ckpt_every/resume points must align to that span.
+        # One dispatch = warp_every*scan_groups = 16 steps (same step
+        # sequence as 16 single dispatches, roundoff-level drift only —
+        # train/step.compose_scan); steps/ckpt_every/resume points must
+        # align to that span.
         scan_groups=8,
         ckpt_every=1600,
         ckpt_dir="logs/speed128",

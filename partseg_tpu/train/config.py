@@ -85,9 +85,11 @@ class TrainConfig:
     # >1 executes G consecutive fetch groups per jitted dispatch via
     # lax.scan (train/step.compose_scan): the host stacks G groups of
     # batches into ONE transfer and the device runs G*warp_every*
-    # data_echo optimizer steps per dispatch. NUMERICALLY IDENTICAL to
-    # scan_groups=1 (same step sequence, same per-step RNG folds —
-    # exactness-tested); purely a dispatch/transfer-overhead lever for
+    # data_echo optimizer steps per dispatch. SAME STEP SEQUENCE as
+    # scan_groups=1 (same batches, same per-step RNG folds — the loss
+    # trajectory matches to ~1e-5; params drift at cross-executable
+    # roundoff level, Adam-amplified on near-zero-gradient leaves —
+    # see train/step.compose_scan); purely a dispatch/transfer-overhead lever for
     # remote-device transports (the axon tunnel serializes per-dispatch
     # round trips — docs/perf_ledger.md). steps/ckpt_every/resume
     # points must align to warp_every*data_echo*scan_groups.

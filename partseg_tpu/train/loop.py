@@ -116,7 +116,8 @@ def build_step_fn(cfg, model, sampler, perceptual, mesh):
 
     if scan > 1:
         # lax.scan over stacked fetch groups (train/step.compose_scan):
-        # one dispatch = scan*every*data_echo steps, numerics-identical.
+        # one dispatch = scan*every*data_echo steps, same step sequence
+        # (roundoff-level cross-executable drift only — see compose_scan).
         # The scan sits INSIDE shard_map (collectives are explicit
         # pmeans in the sub-steps, legal under scan).
         body = compose_scan(body, scan, cfg.data_echo)
@@ -336,17 +337,21 @@ def train(
                 {
                     "image": _globalize(
                         np.stack([hosts[g][j]["image"] for g in range(scan)]),
-                        bsh_stk,
+                        bsh_stk, batch_axis=1,
                     ),
                     "aug_id": _globalize(
                         np.stack([hosts[g][j]["aug_id"] for g in range(scan)]),
-                        bsh_id_stk,
+                        bsh_id_stk, batch_axis=1,
                     ),
                 }
                 for j in range(period)
             )
             xs = stacked[0] if period == 1 else stacked
-            device_batch = jax.tree.map(lambda a: a[0], stacked[0])
+            # Viz batch = this host's raw numpy rows of group 0 / sub 0:
+            # zero extra device dispatches (the transport scan exists to
+            # amortize), and safe to touch from process 0 alone (no jax
+            # computation on the global stacked arrays).
+            device_batch = lambda h=hosts: h[0][0]
             state, metrics = step_fn(state, xs, base_key)
         else:
             # data_echo: fetch a fresh group of batches once per E
@@ -359,7 +364,7 @@ def train(
             if step % group == 0 or echoed_batches is None:
                 echoed_batches = tuple(_device_batch(j) for j in range(period))
             batches = echoed_batches
-            device_batch = batches[0]        # warp-on sub-step, for viz
+            device_batch = lambda b=batches: b[0]  # warp-on sub-step, viz
             if period == 1:
                 state, metrics = step_fn(state, batches[0], base_key)
             else:
@@ -384,7 +389,7 @@ def train(
 
         if cfg.image_log_every and step % cfg.image_log_every < stride:
             if jax.process_index() == 0:
-                _log_images(logger, viz_fn, state, device_batch, step)
+                _log_images(logger, viz_fn, state, device_batch(), step)
 
         if (cfg.fault_injection_step is not None
                 and step <= cfg.fault_injection_step < step + stride):
@@ -404,17 +409,24 @@ def train(
     return jax.device_get(state)
 
 
-def _globalize(host_array, sharding):
+def _globalize(host_array, sharding, batch_axis: int = 0):
     """Assemble a per-host batch shard into a global sharded array.
 
     Single-process: plain device_put. Multi-host: each process
     contributes its local shard of the global batch (DCN-correct;
     device_put of host-local data with a global sharding would be
-    wrong there)."""
+    wrong there).
+
+    batch_axis: the axis each process contributes a shard of — 0 for
+    plain batches, 1 for scan_groups>1 stacks whose leading axis is the
+    [scan] dimension (replicated across hosts, NOT scaled)."""
     if jax.process_count() == 1:
         return jax.device_put(host_array, sharding)
-    global_shape = (host_array.shape[0] * jax.process_count(),) + host_array.shape[1:]
-    return jax.make_array_from_process_local_data(sharding, host_array, global_shape)
+    global_shape = list(host_array.shape)
+    global_shape[batch_axis] *= jax.process_count()
+    return jax.make_array_from_process_local_data(
+        sharding, host_array, tuple(global_shape)
+    )
 
 
 def _host_local_rows(arr, n: int):
@@ -429,6 +441,8 @@ def _host_local_rows(arr, n: int):
     batch slice are image-row pieces — reassemble them along axis 1
     before stacking batch groups (a plain axis-0 concat would log
     half-height images as separate samples)."""
+    if isinstance(arr, np.ndarray):      # host numpy viz batch (scan path)
+        return arr[:n]
     groups: dict[int, list] = {}
     seen = set()
     for s in arr.addressable_shards:

@@ -199,14 +199,20 @@ def compose_scan(body: Callable, scan_groups: int, data_echo: int = 1) -> Callab
     (same batch, fresh step-folded augmentation keys) — the on-device
     analog of the loop's echo re-dispatch.
 
-    NUMERICALLY IDENTICAL to dispatching the body sequentially: the
-    carry is the same TrainState and every sub-step derives its RNG by
-    folding the shared key with state.step (tests/test_train.py pins
-    exact equality). This is purely a dispatch-overhead lever: remote
-    transports (the axon tunnel) serialize a host round trip per
-    dispatch, which at sub-10ms steps dominates wall time; scan
-    amortizes it by scan_groups×. Metrics are the element-wise mean
-    over the whole dispatch.
+    SAME STEP SEQUENCE as dispatching the body sequentially: the carry
+    is the same TrainState, every sub-step derives its RNG by folding
+    the shared key with state.step, and batches/aug_ids arrive in the
+    identical order (tests/test_train.py::test_scan_groups_loop_exact
+    pins the loss trajectory and data stream). Numerics are NOT
+    bit-identical: the scan body and the per-period program are
+    different XLA executables, so params drift at cross-executable
+    roundoff level — invisible in losses (~1e-5 rel) but
+    Adam-amplified up to O(lr·steps) on near-zero-gradient leaves.
+    This is purely a dispatch-overhead lever: remote transports (the
+    axon tunnel) serialize a host round trip per dispatch, which at
+    sub-10ms steps dominates wall time; scan amortizes it by
+    scan_groups×. Metrics are the element-wise mean over the whole
+    dispatch.
     """
 
     def scan_dispatch(state: TrainState, stacked, key: jax.Array):

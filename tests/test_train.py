@@ -397,19 +397,26 @@ def test_warp_every_period_program():
 
 def test_scan_groups_loop_exact(tmp_path):
     # cfg.scan_groups=2: the loop dispatches lax.scan over 2 stacked
-    # fetch groups (one host transfer per sub-slot). Must be
-    # NUMERICALLY equivalent to scan_groups=1 over the same data
-    # stream (same step sequence, same step-folded keys), consume the
-    # same number of loader batches, and reject misaligned budgets.
+    # fetch groups (one host transfer per sub-slot). Must execute the
+    # SAME STEP SEQUENCE as scan_groups=1 over the same data stream
+    # (same batches, same step-folded keys, same update order), consume
+    # the same number of loader batches, and reject misaligned budgets.
+    #
+    # What "same" means numerically: the scan body and the per-period
+    # program are DIFFERENT XLA executables, so raw params carry
+    # cross-executable roundoff that Adam amplifies up to O(lr·steps)
+    # on near-zero-gradient leaves (measured: the stem Conv biases —
+    # they feed a norm, grads ~0, the update is pure m/√v noise; drift
+    # ~1e-3 ≈ Σlr over 8 warmup steps). The step-sequence claim is
+    # therefore pinned on the LOSS TRAJECTORY (metrics.jsonl, ~1e-5
+    # agreement in f32) and the data stream; params are compared with
+    # an atol that covers the Adam-noise floor.
     import dataclasses
+    import json
 
     ds_kw = dict(size=16, n_blobs=3, n_examples=64)
-    # f32 model: the scan body and the per-period program are different
-    # XLA executables, so bf16 cross-executable roundoff amplified by 8
-    # Adam steps would swamp the comparison; in f32 the drift is ~1e-7
-    # relative and the test verifies what matters — that the STEP
-    # SEQUENCE (batches, aug_ids, RNG folds, update order) is identical.
     f32_model = dataclasses.replace(TINY.model, dtype=jnp.float32)
+    ADAM_NOISE_ATOL = 4e-3     # > Σ_s lr(s) over 8 warmup steps (3.6e-3)
 
     def run(scan, steps=8, echo=1, tag=""):
         ds = SyntheticBlobs(**ds_kw)
@@ -420,36 +427,55 @@ def test_scan_groups_loop_exact(tmp_path):
                 pulls.append(1)
                 yield b
 
+        run_dir = tmp_path / f"run{scan}{echo}{tag}"
         cfg = TINY.replace(
             model=f32_model,
-            steps=steps, ckpt_dir=str(tmp_path / f"run{scan}{echo}{tag}"),
-            ckpt_every=4, scan_groups=scan, data_echo=echo,
+            steps=steps, ckpt_dir=str(run_dir),
+            # ckpt_every must be a multiple of the dispatch span
+            # warp_every*data_echo*scan_groups (8 for the echo legs).
+            ckpt_every=8, scan_groups=scan, data_echo=echo,
             augment=dataclasses.replace(TINY.augment, warp_every=2),
         )
         state = train(cfg, data_iter=counting())
-        return state, sum(pulls)
+        losses = {}
+        for line in (run_dir / "metrics.jsonl").read_text().splitlines():
+            rec = json.loads(line)
+            losses[int(rec["step"])] = rec["loss"]
+        return state, sum(pulls), losses
 
-    s_scan, pulls_scan = run(scan=2)
-    s_seq, pulls_seq = run(scan=1)
+    def assert_params_close(a_state, r_state):
+        for a, r in zip(jax.tree.leaves(a_state.params),
+                        jax.tree.leaves(r_state.params)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(r, np.float32),
+                rtol=2e-4, atol=ADAM_NOISE_ATOL,
+            )
+
+    s_scan, pulls_scan, l_scan = run(scan=2)
+    s_seq, pulls_seq, l_seq = run(scan=1)
     assert pulls_scan == pulls_seq == 8  # steps batches (echo=1)
     assert int(s_scan.step) == int(s_seq.step) == 8
-    for a, r in zip(jax.tree.leaves(s_scan.params), jax.tree.leaves(s_seq.params)):
+    # Step-sequence identity: each scan dispatch's mean loss equals the
+    # mean of the sequential run's two period means over the same steps.
+    assert sorted(l_scan) == [0, 4] and sorted(l_seq) == [0, 2, 4, 6]
+    for s in (0, 4):
         np.testing.assert_allclose(
-            np.asarray(a, np.float32), np.asarray(r, np.float32),
-            rtol=2e-4, atol=2e-6,
+            l_scan[s], (l_seq[s] + l_seq[s + 2]) / 2, rtol=1e-5,
+            err_msg=f"dispatch at step {s}",
         )
+    assert_params_close(s_scan, s_seq)
 
     # data_echo composes: echo moves on-device (compose_scan), fetch
-    # count and numerics still match the echoed sequential loop.
-    s_scan_e, pulls_scan_e = run(scan=2, echo=2, tag="e")
-    s_seq_e, pulls_seq_e = run(scan=1, echo=2, tag="e")
+    # count and the loss trajectory still match the echoed sequential
+    # loop (span = warp_every*echo*scan = 8 → one dispatch, one log).
+    s_scan_e, pulls_scan_e, le_scan = run(scan=2, echo=2, tag="e")
+    s_seq_e, pulls_seq_e, le_seq = run(scan=1, echo=2, tag="e")
     assert pulls_scan_e == pulls_seq_e == 4  # steps/echo batches
-    for a, r in zip(jax.tree.leaves(s_scan_e.params),
-                    jax.tree.leaves(s_seq_e.params)):
-        np.testing.assert_allclose(
-            np.asarray(a, np.float32), np.asarray(r, np.float32),
-            rtol=2e-4, atol=2e-6,
-        )
+    assert sorted(le_scan) == [0] and sorted(le_seq) == [0, 2, 4, 6]
+    np.testing.assert_allclose(
+        le_scan[0], np.mean([le_seq[s] for s in (0, 2, 4, 6)]), rtol=1e-5,
+    )
+    assert_params_close(s_scan_e, s_seq_e)
 
     # Budgets not aligned to warp_every*data_echo*scan_groups fail loud.
     import dataclasses as dc

@@ -253,8 +253,8 @@ def run_variant(name, overrides, steps, base_dir, segment_steps=600,
     common = [*overrides, "log_every=50", "image_log_every=0"]
     if scan > 1:
         # scan_groups batches `scan` fetch groups per dispatch
-        # (train/step.compose_scan — numerics-identical, exactness-
-        # tested), amortizing the axon tunnel's per-dispatch round trip
+        # (train/step.compose_scan — same step sequence, roundoff-level
+        # drift only), amortizing the axon tunnel's per-dispatch round trip
         # that makes study training dispatch-bound (~1.4–3 steps/s wall
         # at sub-10ms device steps). Checkpoints must land on dispatch
         # boundaries: align ckpt_every to the segment length.
@@ -422,7 +422,7 @@ if __name__ == "__main__":
                          "prior result.json instead of retraining them")
     ap.add_argument("--scan", type=int, default=1,
                     help="scan_groups for the TRAINING segments "
-                         "(numerics-identical dispatch batching; cuts "
+                         "(step-sequence-preserving dispatch batching; cuts "
                          "the tunnel-bound study wall-clock severalfold)")
     ap.add_argument("--segment_steps", type=int, default=600,
                     help="steps per fresh-process training segment "
