@@ -9,8 +9,15 @@ process-0-only metric/image writers, iterator seek on resume — on the
 synthetic dataset. With fault_step set, both processes os._exit(42) at
 that step (after the checkpoint flush), exercising multi-process
 save/kill/relaunch/restore end to end (VERDICT r2 weak #5).
+
+Env knobs (set identically on every process):
+  PARTSEG_TEST_SCAN=G  — train with scan_groups=G (exercises the
+      stacked [scan, per_host_batch, ...] _globalize path, whose
+      global shape must scale the BATCH axis, not the scan axis).
+  PARTSEG_TEST_F32=1   — f32 model (tight cross-run loss comparisons).
 """
 
+import os
 import pathlib
 import sys
 
@@ -32,10 +39,16 @@ def main():
     from partseg_tpu.train.config import LossConfig, OptimConfig, TrainConfig
     from partseg_tpu.train.loop import train
 
+    scan = int(os.environ.get("PARTSEG_TEST_SCAN", "1"))
+    model_kw = {}
+    if os.environ.get("PARTSEG_TEST_F32"):
+        import jax.numpy as jnp
+
+        model_kw["dtype"] = jnp.float32
     cfg = TrainConfig(
         model=PartNetConfig(n_parts=3, img_size=16, features=16, depth=1,
                             app_features=8, decoder_scales=2,
-                            use_pallas=False),
+                            use_pallas=False, **model_kw),
         augment=AugmentConfig(tps_grid=3),
         loss=LossConfig(vgg_layers=("relu1_2",), vgg_trim_blocks=1),
         optim=OptimConfig(warmup_steps=2, decay_steps=10),
@@ -48,6 +61,7 @@ def main():
         ckpt_every=2,
         ckpt_dir=run_dir,
         fault_injection_step=fault_step,
+        scan_groups=scan,
     )
     train(cfg)
     print(f"p{pid}: done", flush=True)

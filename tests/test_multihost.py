@@ -92,11 +92,13 @@ def test_two_process_dp_matches_single_process(tmp_path):
 TRAIN_CHILD = REPO / "tests" / "_multihost_train_child.py"
 
 
-def _run_train_pair(run_dir, port, fault_step=None, expect_rc=0):
+def _run_train_pair(run_dir, port, fault_step=None, expect_rc=0,
+                    extra_env=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(extra_env or {})
     args = [str(port), str(run_dir)]
     if fault_step is not None:
         args.append(str(fault_step))
@@ -161,3 +163,37 @@ def test_two_process_durability(tmp_path):
     imgs = sorted(p.name for p in (ref_dir / "images").glob("input_*.png"))
     assert imgs == ["input_0000000.png", "input_0000003.png",
                     "input_0000006.png"], imgs
+
+
+@pytest.mark.slow
+def test_two_process_scan_groups(tmp_path):
+    # ADVICE r3 (medium): with scan_groups>1 the host stacks batches as
+    # [scan, per_host_batch, ...] and _globalize must scale the BATCH
+    # axis (axis 1) by process_count, not the scan axis. This runs the
+    # REAL multi-process loop with scan_groups=2 and pins its loss
+    # trajectory to the scan_groups=1 two-process reference: each scan
+    # dispatch's logged loss is the mean of the two per-step losses it
+    # covers (f32 model → cross-executable drift ~1e-6).
+    port = 12400 + (os.getpid() + 23) % 2000
+    ref_dir = tmp_path / "seq"
+    scan_dir = tmp_path / "scan"
+    f32 = {"PARTSEG_TEST_F32": "1"}
+
+    _run_train_pair(ref_dir, port, extra_env=f32)
+    _run_train_pair(scan_dir, port + 1, extra_env={**f32,
+                                                   "PARTSEG_TEST_SCAN": "2"})
+
+    ref = _losses_by_step(ref_dir)
+    scn = _losses_by_step(scan_dir)
+    assert set(ref) == set(range(8)), ref.keys()
+    assert set(scn) == {0, 2, 4, 6}, scn.keys()
+    for s in sorted(scn):
+        np.testing.assert_allclose(
+            scn[s], (ref[s] + ref[s + 1]) / 2, rtol=1e-5,
+            err_msg=f"dispatch at step {s}",
+        )
+
+    # The scan run's viz path (process-0 host-numpy batch) wrote image
+    # grids exactly at the logging cadence.
+    imgs = sorted(p.name for p in (scan_dir / "images").glob("input_*.png"))
+    assert imgs, "scan run wrote no image grids"
