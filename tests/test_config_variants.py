@@ -164,6 +164,47 @@ def test_train_step_with_64core_knobs():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_train_period_wf50_d32_composition():
+    # The r5 candidate rung at test scale: warp_every=2 period program
+    # with warp_fraction=0.5 (sub-batch warp on the warp-on sub-step)
+    # composed with decode-at-loss-res (decoder_out_size < img_size,
+    # VGG at the recon res). Pins the exact composition
+    # tools/quality_study.py gates as speed128_r5_wf50d32.
+    from partseg_tpu.train.config import LossConfig, OptimConfig, TrainConfig
+    from partseg_tpu.train.loop import build_perceptual
+    from partseg_tpu.train.state import create_state
+    from partseg_tpu.train.step import make_train_period
+
+    cfg = TrainConfig(
+        model=dataclasses.replace(BASE, stem_stride=4, decoder_out_size=8),
+        augment=AugmentConfig(tps_grid=3, warp_every=2, warp_fraction=0.5),
+        loss=LossConfig(vgg_layers=("relu1_2",), vgg_trim_blocks=1,
+                        vgg_resolution=8),
+        optim=OptimConfig(warmup_steps=2, decay_steps=10),
+        global_batch=4,
+    )
+    model = PartNet(cfg.model)
+    state = create_state(cfg, model, jax.random.key(0))
+    period = jax.jit(make_train_period(
+        cfg, model, cfg.augment.make_sampler(), build_perceptual(cfg)))
+    batches = tuple(
+        {"image": jax.random.uniform(jax.random.key(10 + i), (4, 16, 16, 3)),
+         "aug_id": jnp.arange(4, dtype=jnp.int32) + 4 * i}
+        for i in range(2)
+    )
+    new_state, metrics = period(state, batches, jax.random.key(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss_warp_on"]))
+    assert np.isfinite(float(metrics["loss_warp_off"]))
+    assert int(new_state.step) == 2
+    # Gradients actually moved the params on both sub-steps.
+    d = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a, np.float32)
+                                  - np.asarray(b, np.float32)).max()),
+        state.params, new_state.params)
+    assert max(jax.tree.leaves(d)) > 0
+
+
 def test_head_upsample_config():
     # stem_stride=4 quality fallback: 2x-upsampled logit head restores
     # img/2 part maps while the trunk stays at img/4.

@@ -182,6 +182,40 @@ VARIANTS_128 = {
         ],
         None,
     ),
+    # r5 byte-cut rung: decode AND take the loss at 32² (the decoder
+    # drops its 64² scale entirely; the perceptual loss pools the
+    # target to the recon res automatically — losses/perceptual.py).
+    # Part maps stay at 32² (stem_stride=4), so the seg/equivariance
+    # paths are untouched; only reconstruction detail drops. The r3
+    # precedent (decoder_out_size=64 = decode at the loss res) PASSED
+    # and even improved mIoU.
+    "speed128_r5_d32": (
+        SPEED128
+        + [
+            "model.decoder_out_size=32",
+            "model.stem_stride=4",
+            "augment.warp_every=2",
+            "loss.vgg_layers=('relu1_2',)",
+            "loss.vgg_trim_blocks=1",
+            "loss.vgg_resolution=32",
+        ],
+        None,
+    ),
+    # r5 composition: d32 byte cut + wf50 warp cut (each individually
+    # probed; gate the composition that would ship).
+    "speed128_r5_wf50d32": (
+        SPEED128
+        + [
+            "model.decoder_out_size=32",
+            "model.stem_stride=4",
+            "augment.warp_every=2",
+            "augment.warp_fraction=0.5",
+            "loss.vgg_layers=('relu1_2',)",
+            "loss.vgg_trim_blocks=1",
+            "loss.vgg_resolution=32",
+        ],
+        None,
+    ),
     # data_echo=4 on top of the shipped default: each host batch feeds
     # 4 steps with fresh augmentation draws (host decode demand ÷ 4 —
     # the input-bound-host lever; bench --pipeline measured 913 → 3,256
@@ -234,20 +268,26 @@ def _run_json(cmd) -> dict:
 
 
 def run_variant(name, overrides, steps, base_dir, segment_steps=600,
-                scan=1):
+                scan=1, resume=False):
     """Train (leak-bounded, fresh process per segment) then eval, all in
     subprocesses: the axon transport leaks its host staging buffer on
     EVERY host->device transfer (~13 MB/step at B=64/128px, measured —
     docs/perf_ledger.md r4), so a long single-process study run decays
     from ~200 to <30 img/s as RSS grows. Segmenting through the
     exactness-tested CLI resume path keeps every process short-lived;
-    the trained numerics equal one long run."""
+    the trained numerics equal one long run.
+
+    resume=True continues a killed/crashed study run from the variant's
+    latest checkpoint instead of wiping it (restore-latest + iterator
+    seek — the same exactness-tested path segmenting already uses, so
+    the trained numerics still equal one uninterrupted run)."""
     import shutil
     import subprocess
     import sys
 
     out_dir = os.path.join(base_dir, name)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    if not resume:
+        shutil.rmtree(out_dir, ignore_errors=True)
     print(f"=== variant {name}: steps={steps} overrides={overrides} ===",
           flush=True)
     common = [*overrides, "log_every=50", "image_log_every=0"]
@@ -259,11 +299,12 @@ def run_variant(name, overrides, steps, base_dir, segment_steps=600,
         # at sub-10ms device steps). Checkpoints must land on dispatch
         # boundaries: align ckpt_every to the segment length.
         common += [f"scan_groups={scan}", f"ckpt_every={segment_steps}"]
+    restore_flag = [] if resume else ["--no-restore"]
     r = subprocess.run(
         [sys.executable, "-m", "partseg_tpu.train.cli",
          "--config", "configs/synthetic.py", "--ckpt_dir", out_dir,
          "--steps", str(steps), "--segment_steps", str(segment_steps),
-         "--no-restore", "--set", *common],
+         *restore_flag, "--set", *common],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     if r.returncode != 0:
         raise RuntimeError(f"training {name} failed rc={r.returncode}")
@@ -309,7 +350,7 @@ def main_64(steps: int, base_dir: str):
 def main_128(base_steps: int, base_dir: str, variants: list[str],
              rates: dict[str, float] | None = None,
              anchor_json: str | None = None, scan: int = 1,
-             segment_steps: int = 600):
+             segment_steps: int = 600, resume: bool = False):
     """Equal-WALL-CLOCK study: variant v trains
     base_steps × rate_v / rate_flagship steps (same global batch, so
     steps/s ∝ img/s/chip).
@@ -367,7 +408,8 @@ def main_128(base_steps: int, base_dir: str, variants: list[str],
                 f"multiple of the dispatch span {span} for variant {name}"
             )
         rows[name] = run_variant(name, PX128_BASE + ov, steps, base_dir,
-                                 segment_steps=segment_steps, scan=scan)
+                                 segment_steps=segment_steps, scan=scan,
+                                 resume=resume)
         rows[name]["img_s_chip"] = rate
 
     f = rows["flagship"]
@@ -427,6 +469,11 @@ if __name__ == "__main__":
     ap.add_argument("--segment_steps", type=int, default=600,
                     help="steps per fresh-process training segment "
                          "(bounds the axon transfer leak)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue a killed/crashed study from each "
+                         "variant's latest checkpoint instead of wiping "
+                         "its run dir (exactness-tested restore+seek; "
+                         "numerics equal one uninterrupted run)")
     a = ap.parse_args()
     if a.px == 64:
         r = main_64(a.steps, a.base_dir)
@@ -436,5 +483,5 @@ if __name__ == "__main__":
         )
         r = main_128(a.base_steps, a.base_dir, a.variants.split(","), rates,
                      anchor_json=a.anchor_json, scan=a.scan,
-                     segment_steps=a.segment_steps)
+                     segment_steps=a.segment_steps, resume=a.resume)
     raise SystemExit(0 if r["gate_pass"] else 1)
