@@ -94,6 +94,19 @@ class TrainConfig:
     # round trips — docs/perf_ledger.md). steps/ckpt_every/resume
     # points must align to warp_every*data_echo*scan_groups.
     scan_groups: int = 1
+    # True caches the ENTIRE dataset's images in device HBM once and
+    # feeds the jitted step per-sample INDICES instead of image tensors:
+    # the gather happens on-device inside the step, so the per-dispatch
+    # host→device traffic drops from B·H·W·3 floats to B int32s. The
+    # batch/step sequence is identical to device_data=False (the loader
+    # still yields the same batches in the same order; only the image
+    # transport changes), modulo cross-executable roundoff of the class
+    # scan_groups documents. Levers: (a) small-dataset production runs —
+    # no input pipeline at all after warmup; (b) remote/tunneled
+    # transports where batch upload is the wall (the quality study: ~3 →
+    # ~100+ steps/s). Requires the grain backend and an indexable
+    # dataset that fits in HBM (validated loudly in train()).
+    device_data: bool = False
     seed: int = 0
 
     log_every: int = 50

@@ -54,8 +54,15 @@ def build_perceptual(cfg: TrainConfig) -> PerceptualLoss:
     )
 
 
-def build_step_fn(cfg, model, sampler, perceptual, mesh):
+def build_step_fn(cfg, model, sampler, perceptual, mesh, device_dataset=None):
     """Compile the train step for the mesh.
+
+    device_dataset (cfg.device_data): an HBM-resident [N, H, W, 3]
+    replicated array of ALL dataset images. The step body then takes
+    batches of {"index", "aug_id"} and gathers images on-device —
+    host→device traffic per step shrinks to B int32s. The gather is
+    row-local under DP (indices are global dataset ids, the table is
+    replicated), so it composes with shard_map/warp_every/scan.
 
     Multi-device: shard_map with explicit pmean — required so Pallas
     kernels stay shard-local (pjit auto-sharding can't partition custom
@@ -79,6 +86,12 @@ def build_step_fn(cfg, model, sampler, perceptual, mesh):
     every = cfg.augment.warp_every
     scan = cfg.scan_groups
     spatial = "space" in mesh.axis_names
+    if device_dataset is not None and spatial:
+        raise ValueError(
+            "device_data is not supported with spatial sharding: the "
+            "image must enter the step already row-sharded, but the "
+            "HBM table gather produces full-height rows per shard"
+        )
 
     if spatial:
         from partseg_tpu.parallel.spatial_train import make_spatial_train_step
@@ -106,6 +119,26 @@ def build_step_fn(cfg, model, sampler, perceptual, mesh):
             )
 
         batch_spec = None
+
+    if device_dataset is not None:
+        make_model_body = make_body
+
+        def make_body(warp_on):
+            fn = make_model_body(warp_on)
+
+            def gathered(state, batch, key):
+                # On-device image fetch: indices are global dataset ids;
+                # the table is replicated, so the gather needs no
+                # collective. closed-over device arrays lower to plain
+                # executable parameters (not HLO constants).
+                b = dict(batch)
+                b["image"] = device_dataset[b.pop("index")]
+                return fn(state, b, key)
+
+            return gathered
+
+        if batch_spec is not None:
+            batch_spec = {"index": P("data"), "aug_id": P("data")}
 
     if every <= 1:
         body = make_body(True)
@@ -196,13 +229,26 @@ def train(
             state, start_step = restored
             print(f"[train] restored checkpoint at step {start_step}")
 
-    step_fn = build_step_fn(cfg, model, sampler, perceptual, mesh)
-    viz_fn = jax.jit(lambda p, a: model.apply(p, a, a))  # compiled once
+    device_ds = None
+    if cfg.device_data:
+        if data_iter is not None:
+            raise ValueError(
+                "device_data builds its own index-carrying loader; pass "
+                "data_iter=None"
+            )
+        if cfg.loader_backend != "grain":
+            raise ValueError(
+                "device_data requires loader_backend='grain' (the native "
+                "decode pool has no per-example index plumbing)"
+            )
 
     if data_iter is None:
         from partseg_tpu.data.loader import prefetch
 
         dataset = build_dataset(cfg.dataset, split="train", **dict(cfg.dataset_kwargs))
+        if cfg.device_data:
+            dataset = _IndexedDataset(dataset)
+            device_ds = _device_dataset_table(dataset, mesh)
         # start_batch=start_step IS the data-iterator checkpoint: one
         # batch per step, so seeking to the restored step reproduces the
         # uninterrupted batch sequence exactly (SURVEY.md §5.4). Callers
@@ -216,6 +262,10 @@ def train(
                 start_batch=start_step // cfg.data_echo,
             )
         )
+
+    step_fn = build_step_fn(cfg, model, sampler, perceptual, mesh,
+                            device_dataset=device_ds)
+    viz_fn = jax.jit(lambda p, a: model.apply(p, a, a))  # compiled once
 
     # One writer per run dir: only process 0 even CONSTRUCTS the logger
     # (the constructor opens metrics.jsonl and a TB event file — doing
@@ -298,9 +348,15 @@ def train(
         bsh_stk = NamedSharding(mesh, P(*((None,) + tuple(bsh.spec))))
         bsh_id_stk = NamedSharding(mesh, P(*((None,) + tuple(bsh_id.spec))))
 
+    feed_key = "image" if device_ds is None else "index"
+    bsh_feed = bsh if device_ds is None else bsh_id
+    if scan > 1:
+        bsh_feed_stk = bsh_stk if device_ds is None else bsh_id_stk
+
     t_last = time.perf_counter()
     imgs_since = 0
     echoed_batches = None
+    viz_host_batch = None
     for step in range(start_step, cfg.steps, stride):
         if cfg.profile_steps and step <= cfg.profile_steps[0] < step + stride:
             jax.profiler.start_trace(os.path.join(cfg.ckpt_dir, "profile"))
@@ -314,12 +370,17 @@ def train(
                 + jax.process_index() * per_host_batch
                 + (fetch_step + sub) * cfg.global_batch
             )
-            return {"image": batch["image"], "aug_id": aug_id}
+            hb = {"image": batch["image"], "aug_id": aug_id}
+            if device_ds is not None:
+                hb["index"] = batch["index"]
+            return hb
 
         def _device_batch(sub: int) -> dict:
+            # device_data: ship indices (B int32s), not images — the
+            # step gathers from the HBM-resident table on-device.
             hb = _host_batch(step, sub)
             return {
-                "image": _globalize(hb["image"], bsh),
+                feed_key: _globalize(hb[feed_key], bsh_feed),
                 "aug_id": _globalize(hb["aug_id"], bsh_id),
             }
 
@@ -335,9 +396,9 @@ def train(
             ]
             stacked = tuple(
                 {
-                    "image": _globalize(
-                        np.stack([hosts[g][j]["image"] for g in range(scan)]),
-                        bsh_stk, batch_axis=1,
+                    feed_key: _globalize(
+                        np.stack([hosts[g][j][feed_key] for g in range(scan)]),
+                        bsh_feed_stk, batch_axis=1,
                     ),
                     "aug_id": _globalize(
                         np.stack([hosts[g][j]["aug_id"] for g in range(scan)]),
@@ -362,9 +423,28 @@ def train(
             # echoes by design. start_step is group-aligned (validated
             # above).
             if step % group == 0 or echoed_batches is None:
-                echoed_batches = tuple(_device_batch(j) for j in range(period))
+                if device_ds is not None:
+                    # Keep the fetch group's first HOST batch for viz:
+                    # the device dicts carry indices, not images.
+                    hbs = [_host_batch(step, j) for j in range(period)]
+                    echoed_batches = tuple(
+                        {
+                            feed_key: _globalize(hb[feed_key], bsh_feed),
+                            "aug_id": _globalize(hb["aug_id"], bsh_id),
+                        }
+                        for hb in hbs
+                    )
+                    viz_host_batch = hbs[0]
+                else:
+                    echoed_batches = tuple(
+                        _device_batch(j) for j in range(period)
+                    )
+                    viz_host_batch = None
             batches = echoed_batches
-            device_batch = lambda b=batches: b[0]  # warp-on sub-step, viz
+            if viz_host_batch is not None:
+                device_batch = lambda h=viz_host_batch: h  # host numpy viz
+            else:
+                device_batch = lambda b=batches: b[0]  # warp-on sub-step, viz
             if period == 1:
                 state, metrics = step_fn(state, batches[0], base_key)
             else:
@@ -407,6 +487,49 @@ def train(
     if logger is not None:
         logger.close()
     return jax.device_get(state)
+
+
+class _IndexedDataset:
+    """Wraps an indexable dict-example dataset so every example carries
+    its dataset index — the key cfg.device_data gathers images by. The
+    loader batches it like any other field, so shuffle/shard/seek
+    arithmetic (and therefore the batch sequence) is untouched."""
+
+    def __init__(self, dataset):
+        self._dataset = dataset
+
+    def __len__(self):
+        return len(self._dataset)
+
+    def __getitem__(self, idx):
+        return {**self._dataset[idx], "index": np.int32(idx)}
+
+
+def _device_dataset_table(dataset, mesh, limit_bytes=8 << 30):
+    """Materialize the whole dataset's images as one replicated HBM
+    array [N, H, W, 3] (cfg.device_data). Paid once at startup; every
+    train step then gathers its batch on-device by index."""
+    n = len(dataset)
+    first = np.asarray(dataset[0]["image"])
+    nbytes = n * first.nbytes
+    if nbytes > limit_bytes:
+        raise ValueError(
+            f"device_data: dataset images are {nbytes / 2**30:.1f} GiB "
+            f"({n} examples x {first.nbytes / 2**20:.2f} MiB) — too large "
+            "for an HBM-resident table; use the streaming loader"
+        )
+    table = np.empty((n,) + first.shape, first.dtype)
+    table[0] = first
+    for i in range(1, n):
+        table[i] = np.asarray(dataset[i]["image"])
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # Fully replicated: every process holds the full table (datasets
+    # small enough for HBM residence are loadable per-host), so
+    # device_put with a replicated global sharding is multi-host legal.
+    return jax.device_put(
+        table, NamedSharding(mesh, P(*((None,) * table.ndim)))
+    )
 
 
 def _globalize(host_array, sharding, batch_axis: int = 0):

@@ -487,3 +487,66 @@ def test_scan_groups_loop_exact(tmp_path):
     )
     with pytest.raises(ValueError, match="align"):
         train(bad)
+
+
+def test_device_data_loop_exact(tmp_path):
+    # cfg.device_data: the whole dataset lives in device HBM and the
+    # jitted step gathers images by index — the per-dispatch transfer is
+    # B int32s. Must train on the SAME batch/step sequence as the
+    # streaming loop: the gather returns bit-identical image rows, so
+    # the loss trajectory matches (the executable differs — gather
+    # fused in — so params carry the same cross-executable-roundoff
+    # class scan_groups documents; see test_scan_groups_loop_exact).
+    import dataclasses
+    import json
+
+    f32_model = dataclasses.replace(TINY.model, dtype=jnp.float32)
+    ADAM_NOISE_ATOL = 4e-3
+
+    def run(device_data, scan=1, tag=""):
+        run_dir = tmp_path / f"run{int(device_data)}{scan}{tag}"
+        cfg = TINY.replace(
+            model=f32_model,
+            steps=8, ckpt_dir=str(run_dir), ckpt_every=8,
+            scan_groups=scan, device_data=device_data,
+            augment=dataclasses.replace(TINY.augment, warp_every=2),
+        )
+        state = train(cfg)
+        losses = {}
+        for line in (run_dir / "metrics.jsonl").read_text().splitlines():
+            rec = json.loads(line)
+            losses[int(rec["step"])] = rec["loss"]
+        return state, losses
+
+    s_dev, l_dev = run(True)
+    s_str, l_str = run(False)
+    assert int(s_dev.step) == int(s_str.step) == 8
+    assert sorted(l_dev) == sorted(l_str)
+    for s in l_str:
+        np.testing.assert_allclose(l_dev[s], l_str[s], rtol=1e-5,
+                                   err_msg=f"step {s}")
+    for a, r in zip(jax.tree.leaves(s_dev.params),
+                    jax.tree.leaves(s_str.params)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(r, np.float32),
+            rtol=2e-4, atol=ADAM_NOISE_ATOL,
+        )
+
+    # Composes with scan_groups (indices stack on the scan axis and the
+    # gather runs inside the scan body).
+    s_dev_s, l_dev_s = run(True, scan=2, tag="s")
+    assert int(s_dev_s.step) == 8
+    for s in l_dev_s:
+        covered = [x for x in sorted(l_str) if s <= x < s + 4]
+        np.testing.assert_allclose(
+            l_dev_s[s], np.mean([l_str[x] for x in covered]), rtol=1e-5,
+            err_msg=f"scan dispatch at step {s}",
+        )
+
+    # Unsupported compositions fail loudly.
+    with pytest.raises(ValueError, match="device_data"):
+        train(TINY.replace(device_data=True, loader_backend="native",
+                           ckpt_dir=str(tmp_path / "bad1")))
+    with pytest.raises(ValueError, match="device_data"):
+        train(TINY.replace(device_data=True, ckpt_dir=str(tmp_path / "bad2")),
+              data_iter=iter([]))

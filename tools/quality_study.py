@@ -268,7 +268,7 @@ def _run_json(cmd) -> dict:
 
 
 def run_variant(name, overrides, steps, base_dir, segment_steps=600,
-                scan=1, resume=False):
+                scan=1, resume=False, device_data=False):
     """Train (leak-bounded, fresh process per segment) then eval, all in
     subprocesses: the axon transport leaks its host staging buffer on
     EVERY host->device transfer (~13 MB/step at B=64/128px, measured —
@@ -291,6 +291,13 @@ def run_variant(name, overrides, steps, base_dir, segment_steps=600,
     print(f"=== variant {name}: steps={steps} overrides={overrides} ===",
           flush=True)
     common = [*overrides, "log_every=50", "image_log_every=0"]
+    if device_data:
+        # HBM-resident dataset + on-device gather (train/loop.py): the
+        # study's synthetic set (~400 MB at 128px/2048ex) stops being
+        # uploaded per dispatch — on the axon tunnel that upload IS the
+        # study wall (~37 MB/s ≈ 3 steps/s at B=64; measured r4). Same
+        # batch/step sequence; cross-executable roundoff drift only.
+        common += ["device_data=True"]
     if scan > 1:
         # scan_groups batches `scan` fetch groups per dispatch
         # (train/step.compose_scan — same step sequence, roundoff-level
@@ -350,7 +357,8 @@ def main_64(steps: int, base_dir: str):
 def main_128(base_steps: int, base_dir: str, variants: list[str],
              rates: dict[str, float] | None = None,
              anchor_json: str | None = None, scan: int = 1,
-             segment_steps: int = 600, resume: bool = False):
+             segment_steps: int = 600, resume: bool = False,
+             device_data: bool = False):
     """Equal-WALL-CLOCK study: variant v trains
     base_steps × rate_v / rate_flagship steps (same global batch, so
     steps/s ∝ img/s/chip).
@@ -409,7 +417,7 @@ def main_128(base_steps: int, base_dir: str, variants: list[str],
             )
         rows[name] = run_variant(name, PX128_BASE + ov, steps, base_dir,
                                  segment_steps=segment_steps, scan=scan,
-                                 resume=resume)
+                                 resume=resume, device_data=device_data)
         rows[name]["img_s_chip"] = rate
 
     f = rows["flagship"]
@@ -469,6 +477,11 @@ if __name__ == "__main__":
     ap.add_argument("--segment_steps", type=int, default=600,
                     help="steps per fresh-process training segment "
                          "(bounds the axon transfer leak)")
+    ap.add_argument("--device_data", action="store_true",
+                    help="train study variants with cfg.device_data: the "
+                         "synthetic set lives in HBM and steps fetch by "
+                         "index — removes the per-dispatch batch upload "
+                         "that makes tunnel-bound studies ~3 steps/s")
     ap.add_argument("--resume", action="store_true",
                     help="continue a killed/crashed study from each "
                          "variant's latest checkpoint instead of wiping "
@@ -483,5 +496,6 @@ if __name__ == "__main__":
         )
         r = main_128(a.base_steps, a.base_dir, a.variants.split(","), rates,
                      anchor_json=a.anchor_json, scan=a.scan,
-                     segment_steps=a.segment_steps, resume=a.resume)
+                     segment_steps=a.segment_steps, resume=a.resume,
+                     device_data=a.device_data)
     raise SystemExit(0 if r["gate_pass"] else 1)
