@@ -189,14 +189,25 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
         def step_fn(state, key):
             return single_fn(state, next_batch(), key)
 
+    def drain(metrics):
+        # block_until_ready is NOT a reliable fence on the axon remote
+        # transport: at small-enough dispatches it returns while work is
+        # still queued (measured: the d32 rung "benched" 99,837 img/s vs
+        # a 6.7 ms/step profiler trace ≈ 19k — CLAUDE.md measurement
+        # rules). A synchronous host readback of the LAST dispatch's
+        # metrics is a true data dependency on the whole chain (each
+        # dispatch consumes the previous state), so the fetch cannot
+        # complete before every queued step has executed.
+        return jax.device_get(jax.tree.map(lambda a: a.sum(), metrics))
+
     for _ in range(warmup):
         state, metrics = step_fn(state, key)
-    jax.block_until_ready(state.params)
+    drain(metrics)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step_fn(state, key)
-    jax.block_until_ready(state.params)
+    drain(metrics)
     dt = time.perf_counter() - t0
 
     # One dispatch covers steps_per_dispatch optimizer steps
