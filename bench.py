@@ -198,8 +198,11 @@ def main(batch_per_chip: int = 128, steps: int = 20, warmup: int = 3,
         # metrics is a true data dependency on the whole chain (each
         # dispatch consumes the previous state), so the fetch cannot
         # complete before every queued step has executed.
+        if metrics is None:  # warmup=0 / steps=0: nothing queued yet
+            return None
         return jax.device_get(jax.tree.map(lambda a: a.sum(), metrics))
 
+    metrics = None
     for _ in range(warmup):
         state, metrics = step_fn(state, key)
     drain(metrics)

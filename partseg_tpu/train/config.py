@@ -104,9 +104,18 @@ class TrainConfig:
     # scan_groups documents. Levers: (a) small-dataset production runs —
     # no input pipeline at all after warmup; (b) remote/tunneled
     # transports where batch upload is the wall (the quality study: ~3 →
-    # ~100+ steps/s). Requires the grain backend and an indexable
-    # dataset that fits in HBM (validated loudly in train()).
+    # ~100+ steps/s). GRAIN BACKEND ONLY: the native C++ decode pool has
+    # no per-example index plumbing (partseg_native/loader.cc returns
+    # decoded pixel batches, not example ids), so loader_backend must
+    # stay "grain"; requires an indexable dataset that fits in HBM
+    # (both validated loudly in train()).
     device_data: bool = False
+    # Store the HBM table as uint8 (floats quantized round(x*255) — the
+    # identical representation a JPEG-decoding u8 host loader ships, and
+    # the step's existing uint8 path normalizes it on-device): 4× the
+    # dataset capacity of an f32 table. Numerics equal the u8-loader
+    # path, NOT the f32 streaming path (1/255 quantization).
+    device_data_u8: bool = False
     seed: int = 0
 
     log_every: int = 50

@@ -248,7 +248,8 @@ def train(
         dataset = build_dataset(cfg.dataset, split="train", **dict(cfg.dataset_kwargs))
         if cfg.device_data:
             dataset = _IndexedDataset(dataset)
-            device_ds = _device_dataset_table(dataset, mesh)
+            device_ds = _device_dataset_table(dataset, mesh,
+                                              u8=cfg.device_data_u8)
         # start_batch=start_step IS the data-iterator checkpoint: one
         # batch per step, so seeking to the restored step reproduces the
         # uninterrupted batch sequence exactly (SURVEY.md §5.4). Callers
@@ -505,23 +506,38 @@ class _IndexedDataset:
         return {**self._dataset[idx], "index": np.int32(idx)}
 
 
-def _device_dataset_table(dataset, mesh, limit_bytes=8 << 30):
+def _device_dataset_table(dataset, mesh, limit_bytes=8 << 30, u8=False):
     """Materialize the whole dataset's images as one replicated HBM
     array [N, H, W, 3] (cfg.device_data). Paid once at startup; every
-    train step then gathers its batch on-device by index."""
+    train step then gathers its batch on-device by index.
+
+    u8 (cfg.device_data_u8): store the table as uint8 — float images
+    in [0,1] are quantized round(x*255), exactly the representation a
+    JPEG-decoding host loader ships — for 4× the HBM capacity of an
+    f32 table. The step already normalizes uint8 batches on-device
+    (train/step.py uint8 fast path), so the gathered rows take the
+    same code path as host u8 batches."""
+
+    def _prep(img):
+        img = np.asarray(img)
+        if u8 and img.dtype != np.uint8:
+            img = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+        return img
+
     n = len(dataset)
-    first = np.asarray(dataset[0]["image"])
+    first = _prep(dataset[0]["image"])
     nbytes = n * first.nbytes
     if nbytes > limit_bytes:
         raise ValueError(
             f"device_data: dataset images are {nbytes / 2**30:.1f} GiB "
             f"({n} examples x {first.nbytes / 2**20:.2f} MiB) — too large "
             "for an HBM-resident table; use the streaming loader"
+            + ("" if u8 else " or device_data_u8=True (4x capacity)")
         )
     table = np.empty((n,) + first.shape, first.dtype)
     table[0] = first
     for i in range(1, n):
-        table[i] = np.asarray(dataset[i]["image"])
+        table[i] = _prep(dataset[i]["image"])
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     # Fully replicated: every process holds the full table (datasets

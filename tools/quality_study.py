@@ -354,11 +354,33 @@ def main_64(steps: int, base_dir: str):
     return result
 
 
+def _aggregate_seeds(per_seed: dict[int, dict]) -> dict:
+    """Mean metrics over seed replicas (VERDICT r4 weak #4: gate
+    decisions rode single runs). The gate compares MEANS; the per-seed
+    rows and max-min spread ship in the row for the evidence trail —
+    a PASS is only trustworthy if the spread is smaller than the gate
+    margin."""
+    keys = ("landmark_err_pct_diag", "equiv_last", "miou", "fg_iou")
+    rows = list(per_seed.values())
+    agg = dict(rows[0])
+    for k in keys:
+        vals = [r[k] for r in rows]
+        agg[k] = sum(vals) / len(vals)
+    agg["learned"] = all(r["learned"] for r in rows)
+    agg["seg_abs_pass"] = all(r["seg_abs_pass"] for r in rows)
+    agg["n_seeds"] = len(rows)
+    agg["seed_rows"] = {str(s): r for s, r in per_seed.items()}
+    agg["seed_spread"] = {
+        k: max(r[k] for r in rows) - min(r[k] for r in rows) for k in keys
+    }
+    return agg
+
+
 def main_128(base_steps: int, base_dir: str, variants: list[str],
              rates: dict[str, float] | None = None,
              anchor_json: str | None = None, scan: int = 1,
              segment_steps: int = 600, resume: bool = False,
-             device_data: bool = False):
+             device_data: bool = False, seeds: int = 1):
     """Equal-WALL-CLOCK study: variant v trains
     base_steps × rate_v / rate_flagship steps (same global batch, so
     steps/s ∝ img/s/chip).
@@ -415,9 +437,24 @@ def main_128(base_steps: int, base_dir: str, variants: list[str],
                 f"--scan {scan}: segment_steps={segment_steps} must be a "
                 f"multiple of the dispatch span {span} for variant {name}"
             )
-        rows[name] = run_variant(name, PX128_BASE + ov, steps, base_dir,
-                                 segment_steps=segment_steps, scan=scan,
-                                 resume=resume, device_data=device_data)
+        if seeds == 1:
+            rows[name] = run_variant(name, PX128_BASE + ov, steps, base_dir,
+                                     segment_steps=segment_steps, scan=scan,
+                                     resume=resume, device_data=device_data)
+        else:
+            # Seed replicas: seed 0 keeps the historical name/dir (so a
+            # prior single-seed run resumes as replica 0); seed s>0
+            # overrides cfg.seed, which drives init, data order, and
+            # per-sample augmentation keys (train/loop.py:221-274).
+            per_seed = {}
+            for s in range(seeds):
+                rname = name if s == 0 else f"{name}_s{s}"
+                sov = ov if s == 0 else ov + [f"seed={s}"]
+                per_seed[s] = run_variant(
+                    rname, PX128_BASE + sov, steps, base_dir,
+                    segment_steps=segment_steps, scan=scan,
+                    resume=resume, device_data=device_data)
+            rows[name] = _aggregate_seeds(per_seed)
         rows[name]["img_s_chip"] = rate
 
     f = rows["flagship"]
@@ -438,6 +475,7 @@ def main_128(base_steps: int, base_dir: str, variants: list[str],
     result = {
         "mode": "128px_equal_wallclock",
         "base_steps": base_steps,
+        "seeds": seeds,
         "rows": rows,
         "pass_at_equal_wallclock": verdicts,
         "fastest_passing_variant": fastest_pass,
@@ -482,6 +520,10 @@ if __name__ == "__main__":
                          "synthetic set lives in HBM and steps fetch by "
                          "index — removes the per-dispatch batch upload "
                          "that makes tunnel-bound studies ~3 steps/s")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="seed replicas per NEW variant row (gate on the "
+                         "mean; per-seed rows + spread recorded). Seed 0 "
+                         "is the historical protocol; s>0 sets cfg.seed=s")
     ap.add_argument("--resume", action="store_true",
                     help="continue a killed/crashed study from each "
                          "variant's latest checkpoint instead of wiping "
@@ -497,5 +539,5 @@ if __name__ == "__main__":
         r = main_128(a.base_steps, a.base_dir, a.variants.split(","), rates,
                      anchor_json=a.anchor_json, scan=a.scan,
                      segment_steps=a.segment_steps, resume=a.resume,
-                     device_data=a.device_data)
+                     device_data=a.device_data, seeds=a.seeds)
     raise SystemExit(0 if r["gate_pass"] else 1)

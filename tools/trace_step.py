@@ -47,8 +47,9 @@ def main():
     state = create_state(cfg, model, jax.random.key(0))
     step_fn = build_step_fn(cfg, model, cfg.augment.make_sampler(),
                             build_perceptual(cfg), mesh)
+    px = cfg.model.img_size
     batch = {
-        "image": jax.random.uniform(jax.random.key(1), (B, 128, 128, 3)),
+        "image": jax.random.uniform(jax.random.key(1), (B, px, px, 3)),
         "aug_id": jnp.arange(B, dtype=jnp.int32),
     }
     key = jax.random.key(2)
