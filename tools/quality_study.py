@@ -268,7 +268,7 @@ def _run_json(cmd) -> dict:
 
 
 def run_variant(name, overrides, steps, base_dir, segment_steps=600,
-                scan=1, resume=False, device_data=False):
+                scan=1, resume=False, device_data=False, ckpt_every=None):
     """Train (leak-bounded, fresh process per segment) then eval, all in
     subprocesses: the axon transport leaks its host staging buffer on
     EVERY host->device transfer (~13 MB/step at B=64/128px, measured —
@@ -304,8 +304,14 @@ def run_variant(name, overrides, steps, base_dir, segment_steps=600,
         # drift only), amortizing the axon tunnel's per-dispatch round trip
         # that makes study training dispatch-bound (~1.4–3 steps/s wall
         # at sub-10ms device steps). Checkpoints must land on dispatch
-        # boundaries: align ckpt_every to the segment length.
-        common += [f"scan_groups={scan}", f"ckpt_every={segment_steps}"]
+        # boundaries: ckpt_every defaults to the segment length but can
+        # be set finer (still span-aligned) — with device_data the
+        # per-dispatch transfers are tiny, so segments can span the
+        # whole budget (axon recompiles EVERY fresh process ~6-8 min;
+        # one process per variant) while crash-resume keeps a finer
+        # checkpoint cadence.
+        common += [f"scan_groups={scan}",
+                   f"ckpt_every={ckpt_every or segment_steps}"]
     restore_flag = [] if resume else ["--no-restore"]
     r = subprocess.run(
         [sys.executable, "-m", "partseg_tpu.train.cli",
@@ -380,7 +386,8 @@ def main_128(base_steps: int, base_dir: str, variants: list[str],
              rates: dict[str, float] | None = None,
              anchor_json: str | None = None, scan: int = 1,
              segment_steps: int = 600, resume: bool = False,
-             device_data: bool = False, seeds: int = 1):
+             device_data: bool = False, seeds: int = 1,
+             ckpt_every: int | None = None):
     """Equal-WALL-CLOCK study: variant v trains
     base_steps × rate_v / rate_flagship steps (same global batch, so
     steps/s ∝ img/s/chip).
@@ -440,7 +447,8 @@ def main_128(base_steps: int, base_dir: str, variants: list[str],
         if seeds == 1:
             rows[name] = run_variant(name, PX128_BASE + ov, steps, base_dir,
                                      segment_steps=segment_steps, scan=scan,
-                                     resume=resume, device_data=device_data)
+                                     resume=resume, device_data=device_data,
+                                     ckpt_every=ckpt_every)
         else:
             # Seed replicas: seed 0 keeps the historical name/dir (so a
             # prior single-seed run resumes as replica 0); seed s>0
@@ -453,7 +461,8 @@ def main_128(base_steps: int, base_dir: str, variants: list[str],
                 per_seed[s] = run_variant(
                     rname, PX128_BASE + sov, steps, base_dir,
                     segment_steps=segment_steps, scan=scan,
-                    resume=resume, device_data=device_data)
+                    resume=resume, device_data=device_data,
+                    ckpt_every=ckpt_every)
             rows[name] = _aggregate_seeds(per_seed)
         rows[name]["img_s_chip"] = rate
 
@@ -520,6 +529,11 @@ if __name__ == "__main__":
                          "synthetic set lives in HBM and steps fetch by "
                          "index — removes the per-dispatch batch upload "
                          "that makes tunnel-bound studies ~3 steps/s")
+    ap.add_argument("--ckpt_every", type=int, default=None,
+                    help="checkpoint cadence inside a segment (span-"
+                         "aligned); default = segment_steps. Lets one "
+                         "long segment (one axon compile) keep a finer "
+                         "crash-resume cadence")
     ap.add_argument("--seeds", type=int, default=1,
                     help="seed replicas per NEW variant row (gate on the "
                          "mean; per-seed rows + spread recorded). Seed 0 "
@@ -539,5 +553,6 @@ if __name__ == "__main__":
         r = main_128(a.base_steps, a.base_dir, a.variants.split(","), rates,
                      anchor_json=a.anchor_json, scan=a.scan,
                      segment_steps=a.segment_steps, resume=a.resume,
-                     device_data=a.device_data, seeds=a.seeds)
+                     device_data=a.device_data, seeds=a.seeds,
+                     ckpt_every=a.ckpt_every)
     raise SystemExit(0 if r["gate_pass"] else 1)
