@@ -126,13 +126,17 @@ def build_step_fn(cfg, model, sampler, perceptual, mesh, device_dataset=None):
         def make_body(warp_on):
             fn = make_model_body(warp_on)
 
-            def gathered(state, batch, key):
+            def gathered(state, batch, key, table):
                 # On-device image fetch: indices are global dataset ids;
                 # the table is replicated, so the gather needs no
-                # collective. closed-over device arrays lower to plain
-                # executable parameters (not HLO constants).
+                # collective. The table is a real jit ARGUMENT (threaded
+                # through compose_period/compose_scan as *extra), NOT a
+                # closure: closed-over arrays are serialized into the
+                # lowered HLO, and the axon remote-compile rejected the
+                # 402 MB study table with HTTP 413. As a device-resident
+                # argument only its handle ships per dispatch.
                 b = dict(batch)
-                b["image"] = device_dataset[b.pop("index")]
+                b["image"] = table[b.pop("index")]
                 return fn(state, b, key)
 
             return gathered
@@ -165,14 +169,26 @@ def build_step_fn(cfg, model, sampler, perceptual, mesh, device_dataset=None):
         # varying-mesh-axes annotation, so the new shard_map VMA checker
         # rejects any Pallas kernel in the body. Collectives are explicit
         # (pmean in the step) so the check adds nothing here.
+        in_specs = (P(), spec, P())
+        if device_dataset is not None:
+            in_specs += (P(),)        # the HBM table: fully replicated
         body = jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(), spec, P()),
+            in_specs=in_specs,
             out_specs=(P(), P()),
             check_vma=False,
         )
-    fn = jax.jit(body, donate_argnums=0)
+    jit_fn = jax.jit(body, donate_argnums=0)
+    if device_dataset is None:
+        fn = jit_fn
+    else:
+        # Inject the table at the PYTHON level (outside the jit
+        # boundary): the loop keeps calling step_fn(state, batches,
+        # key) while the executable receives it as an argument.
+        def fn(state, batches, key):
+            return jit_fn(state, batches, key, device_dataset)
+
     if every <= 1 and scan <= 1:
         return fn
 

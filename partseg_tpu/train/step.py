@@ -175,10 +175,16 @@ def compose_period(subs: list) -> Callable:
     make_train_period). Each sub derives its own RNG by folding the
     shared key with state.step, which increments between subs."""
 
-    def period_step(state: TrainState, batches: tuple, key: jax.Array):
+    def period_step(state: TrainState, batches: tuple, key: jax.Array,
+                    *extra):
+        # *extra: optional trailing args (the device_data HBM table)
+        # forwarded verbatim to every sub-step — they must be jit
+        # ARGUMENTS, not closures: the axon remote-compile serializes
+        # closed-over arrays into the HLO body (a 402 MB table blew its
+        # HTTP length limit with a 413).
         ms = []
         for fn, b in zip(subs, batches):
-            state, m = fn(state, b, key)   # fn folds key with state.step
+            state, m = fn(state, b, key, *extra)  # fn folds key w/ step
             ms.append(m)
         metrics = jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *ms)
         metrics["loss_warp_on"] = ms[0]["loss"]
@@ -215,11 +221,14 @@ def compose_scan(body: Callable, scan_groups: int, data_echo: int = 1) -> Callab
     dispatch.
     """
 
-    def scan_dispatch(state: TrainState, stacked, key: jax.Array):
+    def scan_dispatch(state: TrainState, stacked, key: jax.Array, *extra):
+        # *extra (e.g. the device_data table) is closed over INSIDE the
+        # scan body — as a tracer of scan_dispatch it lowers to a scan
+        # constant input, not an HLO constant (see compose_period).
         def group_body(st, batches):
             ms = []
             for _ in range(data_echo):
-                st, m = body(st, batches, key)  # body folds key w/ step
+                st, m = body(st, batches, key, *extra)  # folds key w/ step
                 ms.append(m)
             m = (
                 ms[0]
