@@ -11,10 +11,11 @@ Default config: configs/speed128.py — the SURVEY §6 "throughput
 config" (the 8k target exceeds the flagship's own roofline; SURVEY
 prescribes a trimmed-VGG/slimmer-trunk benchmark config). Its learning
 quality is gated by the 128px EQUAL-WALL-CLOCK study
-(tools/quality_study.py --px 128, r4 run in STATUS.md /
-logs/quality_study_r4): the default beats the flagship recipe on BOTH
-gate metrics when both train for the same wall-clock (landmark 0.593
-vs 0.697 %-diag, mIoU 0.2667 vs 0.2543). Bench the full quality config
+(tools/quality_study.py --px 128; the r5 run is COMMITTED at
+logs/quality_study_r5/result.json with per-variant metrics.jsonl):
+the default beats the flagship recipe on BOTH gate metrics when both
+train for the same wall-clock (landmark 0.502 vs 0.697 %-diag, mIoU
+0.2928 vs 0.2543; 2-seed replicated). Bench the full quality config
 with --config configs/celeba.py.
 """
 
