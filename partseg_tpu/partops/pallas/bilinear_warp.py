@@ -212,15 +212,22 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _default_tile(big_ok: bool = False) -> int:
+def _default_tile(big_ok: bool = False, h: int = 128) -> int:
     """Point-tile size (perf knob; probe with $PARTSEG_WARP_TILE).
 
     2048 for the generic/f32 paths (4096 overflows the 16 MB scoped
     VMEM there); 4096 for the bf16 TPS training path (measured +1.6%
-    full-step: 2443.7 → 2482.5 img/s at B=128)."""
+    full-step: 2443.7 → 2482.5 img/s at B=128).
+
+    Scales down ∝ H beyond 128: scoped VMEM ≈ tile·(H + C·W)·bytes, so
+    the tile that fits at 128px blows the 16 MB limit at 256px
+    (measured r5: a 4096-tile 256px warp requested 19.19 MB). The env
+    override is absolute (no scaling)."""
     import os
 
     dflt = 4096 if big_ok else 2048
+    if h > 128:
+        dflt = max(512, dflt * 128 // h)
     return int(os.environ.get("PARTSEG_WARP_TILE", str(dflt)))
 
 
@@ -238,7 +245,7 @@ def _run_kernel(
     hcw = jnp.transpose(image, (0, 1, 3, 2)).reshape(b, h, c * w).astype(mt)
 
     n = coords.shape[1]
-    tile = min(_default_tile(), _round_up(n, 128))
+    tile = min(_default_tile(h=h), _round_up(n, 128))
     pad_n = _round_up(n, tile)
     if pad_n != n:
         coords = jnp.pad(coords, ((0, 0), (0, pad_n - n), (0, 0)))
@@ -353,7 +360,7 @@ def _run_tps_kernel(image, weights, basis, interpret):
 
     n, m = basis.shape
     tile = min(
-        _default_tile(big_ok=(mt == jnp.bfloat16)), _round_up(n, 128)
+        _default_tile(big_ok=(mt == jnp.bfloat16), h=h), _round_up(n, 128)
     )
     pad_n = _round_up(n, tile)
     m_pad = _round_up(m, 128)
