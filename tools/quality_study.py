@@ -216,6 +216,23 @@ VARIANTS_128 = {
         ],
         None,
     ),
+    # r5 follow-up: quarter-batch warp on the ADOPTED wf50d32 default —
+    # warp signal still lands EVERY warp-on step (no cadence cut), at
+    # half of wf50's warp cost. Probed 24,780.3 img/s/chip with scan8
+    # (21,242.0 no-scan budget rate), +12% over the shipped default.
+    "speed128_r5_wf25d32": (
+        SPEED128
+        + [
+            "model.decoder_out_size=32",
+            "model.stem_stride=4",
+            "augment.warp_every=2",
+            "augment.warp_fraction=0.25",
+            "loss.vgg_layers=('relu1_2',)",
+            "loss.vgg_trim_blocks=1",
+            "loss.vgg_resolution=32",
+        ],
+        None,
+    ),
     # data_echo=4 on top of the shipped default: each host batch feeds
     # 4 steps with fresh augmentation draws (host decode demand ÷ 4 —
     # the input-bound-host lever; bench --pipeline measured 913 → 3,256
