@@ -14,9 +14,9 @@ quality is gated by the 128px EQUAL-WALL-CLOCK study
 (tools/quality_study.py --px 128; the r5 run is COMMITTED at
 logs/quality_study_r5/result.json with per-variant metrics.jsonl):
 the default beats the flagship recipe on BOTH gate metrics when both
-train for the same wall-clock (landmark 0.502 vs 0.697 %-diag, mIoU
-0.2928 vs 0.2543; 2-seed replicated). Bench the full quality config
-with --config configs/celeba.py.
+train for the same wall-clock (2-seed mean landmark 0.482 vs 0.697
+%-diag, mIoU 0.3036 vs 0.2543; both seeds pass individually). Bench
+the full quality config with --config configs/celeba.py.
 """
 
 from __future__ import annotations

@@ -28,6 +28,8 @@ per step. The rungs, each measured on chip (docs/perf_ledger.md):
     warp-on sub-step; the warp custom call and its layout copies
     halve, while every warp-on step keeps true-warp equivariance
     pairs — augment/pair.py)                            → 22,038
+    + warp_fraction=0.25 (quarter-batch warp; same no-cadence-cut
+    lever, half again the warp cost)                    → 24,780
 
 Quality gating: tools/quality_study.py --px 128 trains the ACTUAL
 recipes (this config vs configs/celeba.py's flagship) at equal
@@ -35,9 +37,12 @@ WALL-CLOCK with step budgets scaled by measured throughput; the bench
 default must match the flagship's landmark error and mIoU there. The
 r5 gate run (logs/quality_study_r5/result.json, committed): this
 recipe at equal wall-clock BEATS the flagship on landmark error
-(0.502 vs 0.697 %-diag) AND mIoU (0.2928 vs 0.2543) — the strongest
-row of any rung — and the PASS replicates across 2 seeds (same
-result.json, seed_rows/seed_spread). Quality configs
+(2-seed mean 0.482 vs 0.697 %-diag) AND mIoU (0.3036 vs 0.2543) —
+the strongest row of any rung — with BOTH seeds passing individually
+(seed_rows/seed_spread in the same result.json). The wf50 half-batch
+rung passed identically (0.515 / 0.3065 at 2 seeds) — warp_fraction
+degrades gracefully because every warp-on step keeps true-warp
+equivariance pairs. Quality configs
 (configs/celeba.py) keep the full trunk, full VGG, full-res decoding,
 and per-step full-batch warps.
 
@@ -59,7 +64,7 @@ def get_config() -> TrainConfig:
             depth=3, decoder_scales=3, decoder_features=(96, 48, 24),
             decoder_out_size=32, stem_stride=4,
         ),
-        augment=AugmentConfig(warp_every=2, warp_fraction=0.5),
+        augment=AugmentConfig(warp_every=2, warp_fraction=0.25),
         loss=LossConfig(
             vgg_layers=("relu1_2",),
             vgg_trim_blocks=1,
