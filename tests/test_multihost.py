@@ -15,6 +15,25 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 CHILD = REPO / "tests" / "_multihost_child.py"
 
 
+# The two heaviest tests here run 2-3 SEQUENTIAL pairs of
+# jax.distributed children (2 procs × 4 virtual devices each). Under
+# xdist on a <4-core host the OTHER workers starve the children's
+# coordination-service heartbeats — both children die rc=1 with a
+# CoordinationService PollForError (reproduced twice under `-n 4` on
+# this 1-core sandbox; both tests pass serially there, 2/2 in ~15 min).
+# xdist_group serialization removes contention BETWEEN these tests but
+# cannot quiet the other workers, so on starved hosts they auto-skip
+# under xdist and run in the documented serial lane instead
+# (CLAUDE.md): python -m pytest tests/test_multihost.py -q
+needs_quiet_host = pytest.mark.skipif(
+    os.environ.get("PYTEST_XDIST_WORKER") is not None
+    and (os.cpu_count() or 1) < 4,
+    reason="multi-pair DCN test starves under xdist on a <4-core host "
+           "(coordination heartbeat timeouts); run the serial lane: "
+           "python -m pytest tests/test_multihost.py -q",
+)
+
+
 def _free_ports(n: int) -> list[int]:
     """Reserve n distinct OS-assigned free ports for jax.distributed
     coordinators. pid-derived ports collided across xdist workers /
@@ -150,6 +169,7 @@ def _losses_by_step(run_dir):
 
 @pytest.mark.slow
 @pytest.mark.xdist_group("twoproc")
+@needs_quiet_host
 def test_two_process_durability(tmp_path):
     # VERDICT r2 weak #5: the multi-process-only code — Orbax
     # save/restore across hosts, process-0-only metric + image writers,
@@ -190,6 +210,7 @@ def test_two_process_durability(tmp_path):
 
 @pytest.mark.slow
 @pytest.mark.xdist_group("twoproc")
+@needs_quiet_host
 def test_two_process_scan_groups(tmp_path):
     # ADVICE r3 (medium): with scan_groups>1 the host stacks batches as
     # [scan, per_host_batch, ...] and _globalize must scale the BATCH
